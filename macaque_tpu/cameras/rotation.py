@@ -1,0 +1,84 @@
+"""Rotation utilities: Rodrigues vector <-> matrix, fully differentiable.
+
+TPU-native replacement for ``cv2.Rodrigues`` used throughout the reference
+(e.g. reference: src/utils/multicam_toolbox.py:450,
+src/third_party/aniposelib/cameras.py:154-171).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_EPS = 1e-12
+
+
+def rodrigues(rvec: jnp.ndarray) -> jnp.ndarray:
+    """Rotation vector(s) ``(..., 3)`` -> rotation matrix(es) ``(..., 3, 3)``.
+
+    Uses the Rodrigues formula ``R = I + sin(t) K + (1 - cos(t)) K^2`` with a
+    Taylor-safe normalization at ``t -> 0`` (sinc-style factors), so it is
+    differentiable everywhere, unlike a naive ``axis = rvec / |rvec|``.
+    """
+    rvec = jnp.asarray(rvec)
+    theta2 = jnp.sum(rvec * rvec, axis=-1, keepdims=True)[..., None]  # (...,1,1)
+    small = theta2 < 1e-14
+    theta = jnp.sqrt(jnp.where(small, 1.0, theta2))  # safe for grad at 0
+
+    # sin(t)/t and (1-cos(t))/t^2, Taylor-switched near t = 0
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    half = theta / 2.0
+    b = jnp.where(
+        small, 0.5 - theta2 / 24.0, 2.0 * (jnp.sin(half) / theta) ** 2
+    )
+
+    x, y, z = rvec[..., 0], rvec[..., 1], rvec[..., 2]
+    zeros = jnp.zeros_like(x)
+    K = jnp.stack(
+        [
+            jnp.stack([zeros, -z, y], axis=-1),
+            jnp.stack([z, zeros, -x], axis=-1),
+            jnp.stack([-y, x, zeros], axis=-1),
+        ],
+        axis=-2,
+    )
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=rvec.dtype), K.shape)
+    return eye + a * K + b * (K @ K)
+
+
+def rodrigues_inv(R: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix(es) ``(..., 3, 3)`` -> rotation vector(s) ``(..., 3)``.
+
+    Standard log map via the matrix trace and the skew-symmetric part.
+    Accurate away from theta = pi (sufficient for camera extrinsics, which the
+    calibration pipeline keeps well-conditioned).
+    """
+    R = jnp.asarray(R)
+    trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+    cos_t = jnp.clip((trace - 1.0) / 2.0, -1.0, 1.0)
+    theta = jnp.arccos(cos_t)
+
+    w = jnp.stack(
+        [
+            R[..., 2, 1] - R[..., 1, 2],
+            R[..., 0, 2] - R[..., 2, 0],
+            R[..., 1, 0] - R[..., 0, 1],
+        ],
+        axis=-1,
+    )
+    # w = 2 sin(theta) * axis ; rvec = theta * axis = theta / (2 sin t) * w
+    sin_t = jnp.sin(theta)
+    scale = jnp.where(
+        sin_t > 1e-7, theta / (2.0 * sin_t + _EPS), 0.5 + theta * theta / 12.0
+    )
+    return w * scale[..., None]
+
+
+def rotate_points(rvec: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
+    """Rotate ``points (..., N, 3)`` by rotation vector(s) ``rvec (..., 3)``.
+
+    Direct Rodrigues rotation without materializing R, matching the math of
+    reference: src/third_party/aniposelib/cameras.py:154-171
+    (``transform_points``), but batched/differentiable.
+    """
+    R = rodrigues(rvec)
+    return jnp.einsum("...ij,...nj->...ni", R, points)

@@ -1,0 +1,270 @@
+"""Constrained 3D trajectory refinement as matrix-free Levenberg-Marquardt.
+
+TPU-native replacement for aniposelib's ``optim_points`` /
+``optim_points_jointlenfix`` (reference: src/third_party/aniposelib/
+cameras.py:1116-1270), whose residual model is:
+
+  * soft-L1-robustified reprojection residuals per (camera, frame, joint,
+    coord) — ``rp * 2 * (sqrt(1 + |e| / rp) - 1)``  (cameras.py:1591-1599)
+  * temporal smoothness — n-th order time differences of the 3D points
+    scaled by ``scale_smooth / mean|diff(medfilt(p3d))|`` (cameras.py:1153,
+    1601-1602)
+  * bone-length consistency — ``100 * (len - expected) / expected`` per
+    frame for strong and weak constraint sets (cameras.py:1604-1617), with
+    the expected lengths free parameters (or fixed, in jointlenfix mode).
+
+The reference solves this with scipy's sparse TRF (host, single-threaded).
+Here the normal equations are solved matrix-free: ``J v`` via ``jvp``,
+``J^T u`` via ``vjp``, conjugate gradients on ``(J^T J + lam D) p = -J^T r``,
+with a standard LM trust-factor update — everything jit-compiled, so the
+entire refinement runs on-device with static shapes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from macaque_tpu.filters.smoothing import interpolate_nan, median_filter_1d
+
+
+class RefineConfig(NamedTuple):
+    scale_smooth: float = 4.0
+    scale_length: float = 2.0
+    scale_length_weak: float = 0.5
+    reproj_error_threshold: float = 15.0
+    reproj_loss: str = "soft_l1"
+    n_deriv_smooth: int = 1
+    lm_iters: int = 30
+    cg_iters: int = 60
+    ftol: float = 1e-3
+
+
+def _soft_l1(e: jnp.ndarray, rp: float) -> jnp.ndarray:
+    return rp * 2.0 * (jnp.sqrt(1.0 + e / rp) - 1.0)
+
+
+def _huber(e: jnp.ndarray, rp: float) -> jnp.ndarray:
+    return jnp.where(e > rp, rp * (2.0 * jnp.sqrt(e / rp) - 1.0), e)
+
+
+def _residuals(
+    p3ds: jnp.ndarray,            # (F, J, 3)
+    joint_lengths: jnp.ndarray,   # (Kc + Kw,)
+    cam,
+    p2ds: jnp.ndarray,            # (C, F, J, 2)
+    valid: jnp.ndarray,           # (C, F, J, 2) bool
+    constraints: jnp.ndarray,     # (Kc, 2) int
+    constraints_weak: jnp.ndarray,  # (Kw, 2) int
+    scale_smooth_full: jnp.ndarray,
+    cfg: RefineConfig,
+    scores: Optional[jnp.ndarray] = None,
+):
+    from macaque_tpu.cameras.omnidir import OmnidirCamera, omnidir_project
+    from macaque_tpu.cameras.pinhole import PinholeCamera, pinhole_project
+
+    C, F, J, _ = p2ds.shape
+    flat3d = p3ds.reshape(-1, 3)
+    if isinstance(cam, OmnidirCamera):
+        proj = omnidir_project(cam, flat3d)
+    elif isinstance(cam, PinholeCamera):
+        proj = pinhole_project(cam, flat3d)
+    else:
+        raise TypeError(type(cam))
+    proj = proj.reshape(C, F, J, 2)
+    err = jnp.where(valid, jnp.nan_to_num(p2ds) - proj, 0.0)
+    if scores is not None:
+        err = err * scores[..., None]
+    abs_err = jnp.abs(err)
+    rp = cfg.reproj_error_threshold
+    if cfg.reproj_loss == "soft_l1":
+        r_reproj = _soft_l1(abs_err, rp)
+    elif cfg.reproj_loss == "huber":
+        r_reproj = _huber(abs_err, rp)
+    else:
+        r_reproj = abs_err
+    r_reproj = jnp.where(valid, r_reproj, 0.0)
+
+    r_smooth = jnp.diff(p3ds, n=cfg.n_deriv_smooth, axis=0) * scale_smooth_full
+
+    def length_res(cons, expected, scale):
+        if cons.shape[0] == 0:
+            return jnp.zeros((0,), p3ds.dtype)
+        a = cons[:, 0]
+        b = cons[:, 1]
+        seg = p3ds[:, a] - p3ds[:, b]            # (F, K, 3)
+        lengths = jnp.linalg.norm(seg + 1e-12, axis=-1)  # (F, K)
+        rel = 100.0 * (lengths - expected[None, :]) / expected[None, :]
+        return (rel.T * scale).ravel()           # (K*F,) constraint-major
+
+    Kc = constraints.shape[0]
+    r_len = length_res(constraints, joint_lengths[:Kc], cfg.scale_length)
+    r_len_w = length_res(
+        constraints_weak, joint_lengths[Kc:], cfg.scale_length_weak
+    )
+    return jnp.concatenate(
+        [r_reproj.ravel(), r_smooth.ravel(), r_len, r_len_w]
+    )
+
+
+def initialize_joint_lengths(
+    p3ds: jnp.ndarray, constraints: jnp.ndarray, constraints_weak: jnp.ndarray
+) -> jnp.ndarray:
+    """Median segment lengths with MAD outlier clamping
+    (reference: cameras.py:1670-1699)."""
+    def med_len(cons):
+        if cons.shape[0] == 0:
+            return jnp.zeros((0,), p3ds.dtype)
+        seg = p3ds[:, cons[:, 0]] - p3ds[:, cons[:, 1]]
+        return jnp.nanmedian(jnp.linalg.norm(seg, axis=-1), axis=0)
+
+    jl = med_len(constraints)
+    jlw = med_len(constraints_weak)
+    all_l = jnp.concatenate([jl, jlw])
+    all_l = jnp.nan_to_num(all_l)
+    med = jnp.median(all_l)
+    med = jnp.where(med == 0, 1e-3, med)
+    mad = jnp.median(jnp.abs(all_l - med))
+    out = jnp.where((all_l == 0) | (all_l > med + mad * 5), med, all_l)
+    return out
+
+
+@partial(jax.jit, static_argnames=("n_p3d", "cfg", "fix_lengths"))
+def _lm_solve(
+    x0: jnp.ndarray,
+    n_p3d: int,
+    cam,
+    p2ds,
+    valid,
+    constraints,
+    constraints_weak,
+    scale_smooth_full,
+    cfg: RefineConfig,
+    fix_lengths: bool,
+    fixed_lengths,
+    scores,
+):
+    F_J3 = n_p3d
+
+    def resid_fn(x):
+        p3 = x[:F_J3].reshape(p2ds.shape[1], p2ds.shape[2], 3)
+        jl = fixed_lengths if fix_lengths else x[F_J3:]
+        return _residuals(
+            p3, jl, cam, p2ds, valid, constraints, constraints_weak,
+            scale_smooth_full, cfg, scores,
+        )
+
+    def cost(x):
+        r = resid_fn(x)
+        return 0.5 * jnp.vdot(r, r)
+
+    def jtj_vec(x, v, lam, diag):
+        _, jv = jax.jvp(resid_fn, (x,), (v,))
+        _, vjp = jax.vjp(resid_fn, x)
+        (jtjv,) = vjp(jv)
+        return jtjv + lam * diag * v
+
+    def cg(x, g, lam, diag):
+        def body(i, state):
+            p, r, z, d = state
+            Ad = jtj_vec(x, d, lam, diag)
+            alpha = jnp.vdot(r, z) / jnp.maximum(jnp.vdot(d, Ad), 1e-30)
+            p2 = p + alpha * d
+            r2 = r - alpha * Ad
+            z2 = r2
+            beta = jnp.vdot(r2, z2) / jnp.maximum(jnp.vdot(r, z), 1e-30)
+            d2 = z2 + beta * d
+            return (p2, r2, z2, d2)
+
+        p0 = jnp.zeros_like(g)
+        r0 = -g
+        state = (p0, r0, r0, r0)
+        p, _, _, _ = jax.lax.fori_loop(0, cfg.cg_iters, body, state)
+        return p
+
+    def lm_step(state):
+        x, lam, f_prev, it, done = state
+        r = resid_fn(x)
+        f = 0.5 * jnp.vdot(r, r)
+        _, vjp = jax.vjp(resid_fn, x)
+        (g,) = vjp(r)
+        # Scale-invariant damping diag (Marquardt): approximate with ones —
+        # the problem is pre-scaled by the reference's residual weights.
+        diag = jnp.ones_like(x)
+        step = cg(x, g, lam, diag)
+        x_new = x + step
+        f_new = 0.5 * (lambda rr: jnp.vdot(rr, rr))(resid_fn(x_new))
+        improved = f_new < f
+        x = jnp.where(improved, x_new, x)
+        lam = jnp.where(improved, lam * 0.5, lam * 4.0)
+        lam = jnp.clip(lam, 1e-10, 1e10)
+        rel = jnp.abs(f - f_new) / jnp.maximum(f, 1e-30)
+        done = improved & (rel < cfg.ftol)
+        return (x, lam, jnp.where(improved, f_new, f), it + 1, done)
+
+    def cond(state):
+        _, _, _, it, done = state
+        return (it < cfg.lm_iters) & (~done)
+
+    state = (x0, jnp.asarray(1e-3, x0.dtype), jnp.asarray(jnp.inf, x0.dtype),
+             jnp.asarray(0), jnp.asarray(False))
+    x, _, _, _, _ = jax.lax.while_loop(cond, lm_step, state)
+    return x
+
+
+def refine_points_3d(
+    cam,
+    p2ds: jnp.ndarray,
+    p3ds_init: jnp.ndarray,
+    constraints=(),
+    constraints_weak=(),
+    cfg: RefineConfig = RefineConfig(),
+    joint_lengths: Optional[jnp.ndarray] = None,
+    scores: Optional[jnp.ndarray] = None,
+):
+    """Refine triangulated 3D keypoints (reference ``optim_points`` /
+    ``optim_points_jointlenfix`` entry).
+
+    cam: camera pytree stacked over C cameras.
+    p2ds: (C, F, J, 2) observed pixels, NaN = missing.
+    p3ds_init: (F, J, 3) initial triangulation (NaNs allowed).
+    joint_lengths: if given, lengths are held fixed (jointlenfix mode).
+    Returns (p3ds (F, J, 3), joint_lengths (Kc+Kw,)).
+    """
+    constraints = jnp.asarray(constraints, dtype=jnp.int32).reshape(-1, 2)
+    constraints_weak = jnp.asarray(constraints_weak, dtype=jnp.int32).reshape(-1, 2)
+    F, J, _ = p3ds_init.shape
+
+    # interpolate + median-filter init exactly like the reference
+    # (cameras.py:1149-1154)
+    flat = p3ds_init.reshape(F, -1)
+    interp = jax.vmap(interpolate_nan, in_axes=1, out_axes=1)(flat)
+    med = jax.vmap(lambda v: median_filter_1d(v, 7), in_axes=1, out_axes=1)(interp)
+    p3ds_intp = interp.reshape(F, J, 3)
+    p3ds_med = med.reshape(F, J, 3)
+    default_smooth = 1.0 / jnp.mean(jnp.abs(jnp.diff(p3ds_med, axis=0)))
+    scale_smooth_full = cfg.scale_smooth * default_smooth
+
+    jl0 = initialize_joint_lengths(p3ds_intp, constraints, constraints_weak)
+
+    fix_lengths = joint_lengths is not None
+    if fix_lengths:
+        fixed = jnp.asarray(joint_lengths)
+        x0 = p3ds_intp.ravel()
+    else:
+        fixed = jnp.zeros_like(jl0)
+        x0 = jnp.concatenate([p3ds_intp.ravel(), jl0])
+    x0 = jnp.nan_to_num(x0)
+
+    valid = ~jnp.isnan(p2ds)
+
+    x = _lm_solve(
+        x0, F * J * 3, cam, p2ds, valid, constraints, constraints_weak,
+        scale_smooth_full, cfg, fix_lengths, fixed, scores,
+    )
+    p3 = x[: F * J * 3].reshape(F, J, 3)
+    jl = fixed if fix_lengths else x[F * J * 3:]
+    return p3, jl

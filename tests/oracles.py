@@ -1,0 +1,116 @@
+"""Independent NumPy/SciPy oracle implementations used only by tests.
+
+These re-derive the reference's documented math (Mei omnidir model, DLT,
+particle Viterbi) in plain NumPy so the JAX implementations are checked
+against an independent formulation, not against themselves.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy import stats
+from scipy.spatial.distance import cdist
+from scipy.special import logsumexp
+
+
+# ---------------------------------------------------------------- omnidir
+
+def omni_project_np(K, xi, D, rvec, tvec, pts):
+    import cv2
+
+    R, _ = cv2.Rodrigues(np.asarray(rvec, np.float64))
+    Xc = pts @ R.T + np.asarray(tvec)[None, :]
+    Xs = Xc / np.linalg.norm(Xc, axis=1, keepdims=True)
+    m = Xs[:, :2] / (Xs[:, 2:3] + xi)
+    k1, k2, p1, p2 = D
+    x, y = m[:, 0], m[:, 1]
+    r2 = x * x + y * y
+    rad = 1 + k1 * r2 + k2 * r2 * r2
+    xd = x * rad + 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
+    yd = y * rad + p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
+    u = K[0, 0] * xd + K[0, 1] * yd + K[0, 2]
+    v = K[1, 1] * yd + K[1, 2]
+    return np.stack([u, v], axis=1)
+
+
+# -------------------------------------------------------------------- DLT
+
+def triangulate_svd_np(points, pmats):
+    """Homogeneous DLT via full SVD (aniposelib triangulate_simple math)."""
+    A = []
+    for (x, y), P in zip(points, pmats):
+        A.append(x * P[2] - P[0])
+        A.append(y * P[2] - P[1])
+    A = np.asarray(A)
+    _, _, vh = np.linalg.svd(A, full_matrices=True)
+    v = vh[-1]
+    return v[:3] / v[3]
+
+
+def triangulate_pinv_np(points, pmats):
+    """Inhomogeneous DLT via pinv (multicam_toolbox.triangulatePoints math)."""
+    A = []
+    for (x, y), P in zip(points, pmats):
+        A.append(x * P[2] - P[0])
+        A.append(y * P[2] - P[1])
+    A = np.asarray(A)
+    a, b = A[:, :3], A[:, 3]
+    return -(np.linalg.pinv(a) @ b)
+
+
+# ---------------------------------------------------------------- viterbi
+
+def viterbi_path_np(points, scores, n_back=3, thres_dist=30.0):
+    """Particle Viterbi, faithful NumPy restatement of the published
+    anipose algorithm (dynamic shapes, used as test oracle only)."""
+    n_frames = points.shape[0]
+    num_points = np.sum(~np.isnan(points[:, :, 0]), axis=1)
+    num_max = int(np.max(num_points))
+
+    particles = np.zeros((n_frames, num_max * n_back + 1, 3))
+    valid = np.zeros(n_frames, dtype=int)
+    for i in range(n_frames):
+        s = 0
+        for j in range(n_back):
+            if i - j < 0:
+                break
+            ixs = np.where(~np.isnan(points[i - j, :, 0]))[0]
+            nv = len(ixs)
+            particles[i, s : s + nv, :2] = points[i - j, ixs]
+            particles[i, s : s + nv, 2] = scores[i - j, ixs] * 2.0 ** (-j)
+            s += nv
+        if s == 0:
+            particles[i, 0] = [-1, -1, 0.001]
+            s = 1
+        valid[i] = s
+
+    n_particles = int(np.max(valid))
+    T_logprob = np.full((n_frames, n_particles), -np.inf)
+    T_back = np.zeros((n_frames, n_particles), dtype=int)
+    T_logprob[0, : valid[0]] = np.log(particles[0, : valid[0], 2])
+
+    for i in range(1, n_frames):
+        va, vb = valid[i - 1], valid[i]
+        pa = particles[i - 1, :va, :2]
+        pb = particles[i, :vb, :2]
+        dists = cdist(pa, pb)
+        hi = stats.norm.logcdf(dists + 2, scale=thres_dist)
+        lo = stats.norm.logcdf(dists - 2, scale=thres_dist)
+        P_trans = logsumexp(
+            np.stack([hi, lo], axis=0).T, b=np.array([1, -1]), axis=2
+        )
+        P_trans[P_trans < -100] = -100
+        P_trans[pb[:, 0] == -1, :] = np.log(0.001)
+        P_trans[:, pa[:, 0] == -1] = np.log(0.001)
+        possible = T_logprob[i - 1, :va] + P_trans
+        T_logprob[i, :vb] = np.max(possible, axis=1) + np.log(
+            particles[i, :vb, 2]
+        )
+        T_back[i, :vb] = np.argmax(possible, axis=1)
+
+    out = np.zeros(n_frames, dtype=int)
+    out[-1] = int(np.argmax(T_logprob[-1]))
+    for i in range(n_frames - 1, 0, -1):
+        out[i - 1] = T_back[i, out[i]]
+    trace = np.array([particles[i, out[i]] for i in range(n_frames)])
+    return trace[:, :2], trace[:, 2]
