@@ -1,0 +1,193 @@
+"""Swin-S + FPN + Mask R-CNN (bbox-only) detector in Flax, static shapes.
+
+Architecture per the reference detection config
+(model/detection/SWIN-Mask_R-CNN_bbox_only.py): FPN over 4 Swin stages
+(256 ch, 5 outs with extra max-pool level), RPN (3 anchor ratios, scale 8,
+strides 4..64), aligned RoIAlign 7x7 into a Shared2FC bbox head
+(1024-1024, softmax over [macaque, background]), ``mask_head=None``.
+
+Inference matches mmdet test_cfg (:175-185): RPN nms_pre/max 1000 @ IoU
+0.7 (per-level batched NMS), RCNN score_thr 0.05, NMS 0.5, max 100 — all
+with compile-time shapes (top-k + masking instead of dynamic filtering).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from macaque_tpu.nn.swin import SwinBackbone, SwinConfig
+from macaque_tpu.nn.ops import (
+    make_anchors,
+    delta2bbox,
+    nms_fixed,
+    batched_nms_fixed,
+    roi_align,
+)
+
+
+@dataclass(frozen=True)
+class DetectorConfig:
+    swin: SwinConfig = field(default_factory=SwinConfig)
+    fpn_channels: int = 256
+    num_classes: int = 1
+    # RPN test cfg
+    rpn_nms_pre: int = 1000
+    rpn_iou_thr: float = 0.7
+    rpn_max: int = 1000
+    # RCNN test cfg
+    rcnn_score_thr: float = 0.05
+    rcnn_iou_thr: float = 0.5
+    rcnn_max: int = 100
+    strides: Tuple[int, ...] = (4, 8, 16, 32, 64)
+    finest_scale: float = 56.0
+    compute_dtype: Any = jnp.float32
+
+
+class FPN(nn.Module):
+    cfg: DetectorConfig
+
+    @nn.compact
+    def __call__(self, feats):
+        c = self.cfg
+        laterals = [
+            nn.Conv(c.fpn_channels, (1, 1), dtype=c.compute_dtype,
+                    name=f"lateral{i}")(f)
+            for i, f in enumerate(feats)
+        ]
+        for i in range(len(laterals) - 1, 0, -1):
+            up = jax.image.resize(
+                laterals[i], laterals[i - 1].shape, method="nearest"
+            )
+            laterals[i - 1] = laterals[i - 1] + up
+        outs = [
+            nn.Conv(c.fpn_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                    dtype=c.compute_dtype, name=f"fpn_conv{i}")(l)
+            for i, l in enumerate(laterals)
+        ]
+        # extra P6 via stride-2 max pool on P5 (mmdet FPN default)
+        outs.append(nn.max_pool(outs[-1], (1, 1), strides=(2, 2)))
+        return outs
+
+
+class RPNHead(nn.Module):
+    cfg: DetectorConfig
+
+    @nn.compact
+    def __call__(self, feats):
+        c = self.cfg
+        conv = nn.Conv(c.fpn_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                       dtype=c.compute_dtype, name="conv")
+        cls = nn.Conv(3, (1, 1), dtype=jnp.float32, name="cls")
+        reg = nn.Conv(12, (1, 1), dtype=jnp.float32, name="reg")
+        outs = []
+        for f in feats:
+            h = nn.relu(conv(f))
+            outs.append((cls(h), reg(h)))
+        return outs
+
+
+class BBoxHead(nn.Module):
+    cfg: DetectorConfig
+
+    @nn.compact
+    def __call__(self, roi_feats):
+        c = self.cfg
+        x = roi_feats.reshape(roi_feats.shape[0], -1)
+        x = nn.relu(nn.Dense(1024, dtype=c.compute_dtype, name="fc1")(x))
+        x = nn.relu(nn.Dense(1024, dtype=c.compute_dtype, name="fc2")(x))
+        cls = nn.Dense(c.num_classes + 1, dtype=jnp.float32, name="cls")(x)
+        reg = nn.Dense(4 * c.num_classes, dtype=jnp.float32, name="reg")(x)
+        return cls, reg
+
+
+class SwinMaskRCNN(nn.Module):
+    """Full detector. ``__call__`` runs single-image inference on a padded
+    normalized input and returns fixed-size (boxes, scores, valid)."""
+
+    cfg: DetectorConfig = field(default_factory=DetectorConfig)
+
+    def setup(self):
+        self.backbone = SwinBackbone(self.cfg.swin)
+        self.fpn = FPN(self.cfg)
+        self.rpn = RPNHead(self.cfg)
+        self.bbox_head = BBoxHead(self.cfg)
+
+    def features(self, image):
+        feats = self.backbone(image)
+        return self.fpn(feats)
+
+    def __call__(self, image, img_shape=None):
+        """image: (1, H, W, 3) normalized, padded to /32.
+        img_shape: (h, w) valid region for clipping (defaults to padded).
+        Returns (boxes (rcnn_max, 4), scores (rcnn_max,), valid mask)."""
+        c = self.cfg
+        H, W = image.shape[1], image.shape[2]
+        if img_shape is None:
+            img_shape = (H, W)
+
+        fpn_feats = self.features(image)
+        rpn_outs = self.rpn(fpn_feats)
+
+        feat_sizes = [(f.shape[1], f.shape[2]) for f in fpn_feats]
+        anchors = make_anchors(feat_sizes, c.strides)
+
+        # --- RPN proposals (per-level top-k, then level-aware NMS) ---
+        all_boxes, all_scores, all_ids = [], [], []
+        for lvl, ((cls, reg), anc) in enumerate(zip(rpn_outs, anchors)):
+            score = jax.nn.sigmoid(cls.reshape(-1))
+            delta = reg.reshape(-1, 4)
+            k = min(c.rpn_nms_pre, score.shape[0])
+            top_s, top_i = jax.lax.top_k(score, k)
+            boxes = delta2bbox(
+                jnp.asarray(anc)[top_i], delta[top_i],
+                stds=(1.0, 1.0, 1.0, 1.0), max_shape=img_shape,
+            )
+            all_boxes.append(boxes)
+            all_scores.append(top_s)
+            all_ids.append(jnp.full((k,), lvl, jnp.int32))
+        pb = jnp.concatenate(all_boxes)
+        ps = jnp.concatenate(all_scores)
+        pi = jnp.concatenate(all_ids)
+        keep, keep_valid = batched_nms_fixed(
+            pb, jnp.where(ps > 0, ps, ps), pi, c.rpn_iou_thr, c.rpn_max
+        )
+        proposals = pb[keep]
+        prop_valid = keep_valid
+
+        # --- RoI feature extraction (FPN level by box scale) ---
+        w = jnp.maximum(proposals[:, 2] - proposals[:, 0], 0)
+        h = jnp.maximum(proposals[:, 3] - proposals[:, 1], 0)
+        scale = jnp.sqrt(w * h)
+        lvl = jnp.floor(jnp.log2(scale / c.finest_scale + 1e-6))
+        lvl = jnp.clip(lvl, 0, 3).astype(jnp.int32)
+
+        roi_feats = jnp.zeros(
+            (proposals.shape[0], 7, 7, c.fpn_channels), jnp.float32
+        )
+        for L in range(4):
+            rf = roi_align(
+                fpn_feats[L][0].astype(jnp.float32), proposals, 7,
+                1.0 / c.strides[L],
+            )
+            roi_feats = jnp.where((lvl == L)[:, None, None, None], rf, roi_feats)
+
+        cls_logits, reg = self.bbox_head(roi_feats.astype(c.compute_dtype))
+        probs = jax.nn.softmax(cls_logits, axis=-1)
+        fg_score = probs[:, 0]  # single foreground class
+        boxes = delta2bbox(
+            proposals, reg, stds=(0.1, 0.1, 0.2, 0.2), max_shape=img_shape
+        )
+
+        score = jnp.where(
+            prop_valid & (fg_score > c.rcnn_score_thr), fg_score, -jnp.inf
+        )
+        keep2, valid2 = nms_fixed(boxes, score, c.rcnn_iou_thr, c.rcnn_max)
+        out_boxes = boxes[keep2]
+        out_scores = jnp.where(valid2, fg_score[keep2], 0.0)
+        return out_boxes, out_scores, valid2

@@ -1,0 +1,208 @@
+"""Detection ops: anchors, box coding, IoU, static-shape NMS, RoIAlign.
+
+Pure-JAX, statically shaped equivalents of the mmdet/mmcv CUDA ops the
+reference's detector relies on (anchor generation, DeltaXYWH coding, NMS,
+aligned RoIAlign; model/detection/SWIN-Mask_R-CNN_bbox_only.py:137-185).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ----------------------------------------------------------------- anchors
+
+def make_anchors(
+    feat_sizes, strides, scales=(8.0,), ratios=(0.5, 1.0, 2.0)
+) -> list[np.ndarray]:
+    """mmdet AnchorGenerator semantics (center_offset 0): per level,
+    base anchors of area (scale*stride)^2 at each ratio, tiled over the
+    feature grid. Returns one (H*W*A, 4) xyxy array per level."""
+    out = []
+    for (H, W), stride in zip(feat_sizes, strides):
+        base = []
+        for r in ratios:
+            for s in scales:
+                size = s * stride
+                w = size * np.sqrt(1.0 / r)
+                h = size * np.sqrt(r)
+                base.append([-w / 2, -h / 2, w / 2, h / 2])
+        base = np.asarray(base)  # (A, 4)
+        xs = (np.arange(W) * stride)[None, :, None]
+        ys = (np.arange(H) * stride)[:, None, None]
+        ctr = np.stack(
+            [np.broadcast_to(xs, (H, W, 1)), np.broadcast_to(ys, (H, W, 1))],
+            axis=-1,
+        ).reshape(H, W, 1, 2)
+        anchors = np.concatenate([ctr, ctr], axis=-1) + base[None, None]
+        out.append(anchors.reshape(-1, 4).astype(np.float32))
+    return out
+
+
+# ------------------------------------------------------------- box coding
+
+def delta2bbox(anchors, deltas, stds=(1.0, 1.0, 1.0, 1.0),
+               max_shape=None, wh_ratio_clip=16 / 1000):
+    """mmdet DeltaXYWHBBoxCoder.decode (means 0)."""
+    stds = jnp.asarray(stds, deltas.dtype)
+    d = deltas * stds
+    aw = anchors[..., 2] - anchors[..., 0]
+    ah = anchors[..., 3] - anchors[..., 1]
+    ax = (anchors[..., 0] + anchors[..., 2]) / 2
+    ay = (anchors[..., 1] + anchors[..., 3]) / 2
+    max_ratio = jnp.abs(jnp.log(wh_ratio_clip))
+    dw = jnp.clip(d[..., 2], -max_ratio, max_ratio)
+    dh = jnp.clip(d[..., 3], -max_ratio, max_ratio)
+    cx = ax + d[..., 0] * aw
+    cy = ay + d[..., 1] * ah
+    w = aw * jnp.exp(dw)
+    h = ah * jnp.exp(dh)
+    boxes = jnp.stack(
+        [cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=-1
+    )
+    if max_shape is not None:
+        h_img, w_img = max_shape
+        boxes = jnp.stack(
+            [
+                jnp.clip(boxes[..., 0], 0, w_img),
+                jnp.clip(boxes[..., 1], 0, h_img),
+                jnp.clip(boxes[..., 2], 0, w_img),
+                jnp.clip(boxes[..., 3], 0, h_img),
+            ],
+            axis=-1,
+        )
+    return boxes
+
+
+# -------------------------------------------------------------------- IoU
+
+def bbox_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise IoU of (..., N, 4) x (..., M, 4) xyxy boxes -> (..., N, M)."""
+    lt = jnp.maximum(a[..., :, None, :2], b[..., None, :, :2])
+    rb = jnp.minimum(a[..., :, None, 2:], b[..., None, :, 2:])
+    wh = jnp.maximum(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = jnp.maximum(a[..., 2] - a[..., 0], 0) * jnp.maximum(
+        a[..., 3] - a[..., 1], 0
+    )
+    area_b = jnp.maximum(b[..., 2] - b[..., 0], 0) * jnp.maximum(
+        b[..., 3] - b[..., 1], 0
+    )
+    union = area_a[..., :, None] + area_b[..., None, :] - inter
+    return inter / jnp.maximum(union, 1e-9)
+
+
+# -------------------------------------------------------------------- NMS
+
+def nms_fixed(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thr: float,
+              max_out: int):
+    """Greedy NMS with static shapes.
+
+    boxes (N, 4), scores (N,) with invalid entries at score -inf.
+    Returns (keep_idx (max_out,), keep_valid (max_out,) bool) — indices of
+    surviving boxes in descending score order.
+    """
+    N = boxes.shape[0]
+    order = jnp.argsort(-scores)
+    b = boxes[order]
+    s = scores[order]
+    iou = bbox_iou(b, b)
+
+    def body(i, alive):
+        # if i is alive, kill all lower-ranked boxes with IoU > thr
+        kill = (iou[i] > iou_thr) & (jnp.arange(N) > i) & alive[i]
+        return alive & ~kill
+
+    alive = jax.lax.fori_loop(0, N, body, s > -jnp.inf)
+    alive_scores = jnp.where(alive, s, -jnp.inf)
+    top = jnp.argsort(-alive_scores)[:max_out]
+    keep_valid = alive_scores[top] > -jnp.inf
+    keep_idx = order[top]
+    return keep_idx, keep_valid
+
+
+def batched_nms_fixed(boxes, scores, ids, iou_thr, max_out):
+    """Class/level-aware NMS via the coordinate-offset trick
+    (mmcv batched_nms semantics)."""
+    offset = ids.astype(boxes.dtype)[:, None] * (
+        jnp.max(boxes) + 1.0
+    )
+    return nms_fixed(boxes + offset, scores, iou_thr, max_out)
+
+
+# --------------------------------------------------------------- RoIAlign
+
+def roi_align(feat: jnp.ndarray, rois: jnp.ndarray, out_size: int,
+              spatial_scale: float, sampling_ratio: int = 2) -> jnp.ndarray:
+    """Aligned RoIAlign (mmcv aligned=True semantics: half-pixel offset).
+
+    feat: (H, W, C); rois: (R, 4) xyxy in image coords.
+    Returns (R, out_size, out_size, C).
+
+    The reference's RoI layer uses sampling_ratio=0 (adaptive sample count
+    per bin); a fixed sampling_ratio=2 is used here so shapes stay static —
+    the standard TPU/ONNX approximation, accurate to interpolation
+    tolerance for typical box sizes.
+    """
+    H, W, C = feat.shape
+    x1 = rois[:, 0] * spatial_scale - 0.5
+    y1 = rois[:, 1] * spatial_scale - 0.5
+    x2 = rois[:, 2] * spatial_scale - 0.5
+    y2 = rois[:, 3] * spatial_scale - 0.5
+    bin_w = (x2 - x1) / out_size
+    bin_h = (y2 - y1) / out_size
+
+    s = sampling_ratio
+    # sample positions within each bin: (out, s) offsets
+    grid = (jnp.arange(s) + 0.5) / s
+
+    gx = (
+        x1[:, None, None]
+        + (jnp.arange(out_size)[None, :, None] + grid[None, None, :])
+        * bin_w[:, None, None]
+    )  # (R, out, s)
+    gy = (
+        y1[:, None, None]
+        + (jnp.arange(out_size)[None, :, None] + grid[None, None, :])
+        * bin_h[:, None, None]
+    )
+
+    gx = gx.reshape(rois.shape[0], -1)  # (R, out*s)
+    gy = gy.reshape(rois.shape[0], -1)
+
+    def bilinear(yq, xq):
+        y0 = jnp.floor(yq)
+        x0 = jnp.floor(xq)
+        wy1 = yq - y0
+        wx1 = xq - x0
+        y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+        y1i = jnp.clip(y0i + 1, 0, H - 1)
+        x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+        x1i = jnp.clip(x0i + 1, 0, W - 1)
+        # zero out samples fully outside the feature map (mmcv behaviour)
+        inside = (yq > -1.0) & (yq < H) & (xq > -1.0) & (xq < W)
+        v00 = feat[y0i, x0i]
+        v01 = feat[y0i, x1i]
+        v10 = feat[y1i, x0i]
+        v11 = feat[y1i, x1i]
+        wy1e = wy1[..., None]
+        wx1e = wx1[..., None]
+        val = (
+            v00 * (1 - wy1e) * (1 - wx1e)
+            + v01 * (1 - wy1e) * wx1e
+            + v10 * wy1e * (1 - wx1e)
+            + v11 * wy1e * wx1e
+        )
+        return jnp.where(inside[..., None], val, 0.0)
+
+    # all sample points: (R, out*s, out*s, C) via outer grid of gy x gx
+    yq = gy[:, :, None]
+    xq = gx[:, None, :]
+    yq = jnp.broadcast_to(yq, (rois.shape[0], gy.shape[1], gx.shape[1]))
+    xq = jnp.broadcast_to(xq, yq.shape)
+    vals = bilinear(yq, xq)  # (R, out*s, out*s, C)
+    R = rois.shape[0]
+    vals = vals.reshape(R, out_size, s, out_size, s, C)
+    return vals.mean(axis=(2, 4))

@@ -1,0 +1,150 @@
+"""ViTPose: plain ViT backbone + deconv heatmap head, in Flax.
+
+Architecture follows the reference's pose config
+(model/pose/td-hm_ViTPose-huge_8xb64-210e_coco-256x192_sn_macaque.py):
+ViT-huge (depth 32, width 1280, 16 heads, MLP 5120, patch 16 with conv
+padding 2, no cls token, learned pos-embed, final LN), HeatmapHead with two
+4x4-stride-2 deconvs (256 ch, BN+ReLU) and a 1x1 conv to 17 heatmap
+channels at 64x48.
+
+All matmuls run in bfloat16 on TPU with float32 accumulation when
+``compute_dtype=bfloat16``; params stay float32.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import jax
+
+
+@dataclass(frozen=True)
+class VitPoseConfig:
+    img_size: Tuple[int, int] = (256, 192)  # (H, W)
+    patch_size: int = 16
+    patch_padding: int = 2
+    embed_dim: int = 1280
+    depth: int = 32
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    num_keypoints: int = 17
+    deconv_channels: Tuple[int, ...] = (256, 256)
+    ln_eps: float = 1e-6
+    compute_dtype: Any = jnp.float32
+
+    @property
+    def grid(self) -> Tuple[int, int]:
+        h = (self.img_size[0] + 2 * self.patch_padding - self.patch_size) // self.patch_size + 1
+        w = (self.img_size[1] + 2 * self.patch_padding - self.patch_size) // self.patch_size + 1
+        return h, w
+
+
+class Attention(nn.Module):
+    cfg: VitPoseConfig
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        B, N, D = x.shape
+        qkv = nn.Dense(3 * D, use_bias=True, dtype=c.compute_dtype, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(B, N, c.num_heads, D // c.num_heads)
+
+        out = jax.nn.dot_product_attention(heads(q), heads(k), heads(v))
+        out = out.reshape(B, N, D)
+        return nn.Dense(D, dtype=c.compute_dtype, name="proj")(out)
+
+
+class Block(nn.Module):
+    cfg: VitPoseConfig
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        h = nn.LayerNorm(epsilon=c.ln_eps, dtype=jnp.float32, name="ln1")(x)
+        x = x + Attention(c, name="attn")(h)
+        h = nn.LayerNorm(epsilon=c.ln_eps, dtype=jnp.float32, name="ln2")(x)
+        h = nn.Dense(int(c.embed_dim * c.mlp_ratio), dtype=c.compute_dtype, name="fc1")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(c.embed_dim, dtype=c.compute_dtype, name="fc2")(h)
+        return x + h
+
+
+class ViTBackbone(nn.Module):
+    cfg: VitPoseConfig
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (B, H, W, 3) normalized images -> (B, h, w, D) feature map."""
+        c = self.cfg
+        x = nn.Conv(
+            c.embed_dim,
+            kernel_size=(c.patch_size, c.patch_size),
+            strides=(c.patch_size, c.patch_size),
+            padding=[(c.patch_padding, c.patch_padding)] * 2,
+            dtype=c.compute_dtype,
+            name="patch_embed",
+        )(x)
+        B, h, w, D = x.shape
+        x = x.reshape(B, h * w, D)
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.truncated_normal(0.02),
+            (1, h * w, D),
+        )
+        x = x + pos.astype(x.dtype)
+        for i in range(c.depth):
+            x = Block(c, name=f"block{i}")(x)
+        x = nn.LayerNorm(epsilon=c.ln_eps, dtype=jnp.float32, name="ln_final")(x)
+        return x.reshape(B, h, w, D)
+
+
+class HeatmapHead(nn.Module):
+    """Deconv heatmap head (mmpose HeatmapHead semantics: ConvTranspose
+    4x4 s2 + BN + ReLU per stage, then 1x1 conv)."""
+
+    cfg: VitPoseConfig
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.cfg
+        for i, ch in enumerate(c.deconv_channels):
+            # 'SAME' + spatially-flipped kernel == torch ConvTranspose2d
+            # (k=4, s=2, p=1); see nn/convert.py::_t_deconv
+            x = nn.ConvTranspose(
+                ch,
+                kernel_size=(4, 4),
+                strides=(2, 2),
+                padding="SAME",
+                use_bias=False,
+                dtype=c.compute_dtype,
+                name=f"deconv{i}",
+            )(x)
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=jnp.float32,
+                name=f"bn{i}",
+            )(x)
+            x = nn.relu(x)
+        x = nn.Conv(c.num_keypoints, kernel_size=(1, 1), dtype=jnp.float32,
+                    name="final")(x)
+        return x
+
+
+class ViTPose(nn.Module):
+    """Top-down 2D pose network. Input (B, 256, 192, 3) normalized crops;
+    output (B, 64, 48, 17) heatmaps."""
+
+    cfg: VitPoseConfig = field(default_factory=VitPoseConfig)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feat = ViTBackbone(self.cfg, name="backbone")(x)
+        return HeatmapHead(self.cfg, name="head")(feat, train=train)
