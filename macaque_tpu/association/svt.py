@@ -47,21 +47,38 @@ def match_svt(
     max_iter: int = 500,
     pselect: int = 1,
     dual_stochastic: bool = False,
+    valid: jnp.ndarray | None = None,
 ):
     """Solve batched SVT matching.
 
     S: (..., N, N) affinity matrices (a batch axis is optional).
     same_block: (N, N) bool — True inside per-camera diagonal blocks (these
       entries are forced to zero each iteration, reference step2:169-171).
-    Returns binary match matrices (..., N, N) uint8 (threshold 0.5).
+    valid: optional (..., N) detection mask for padded problems. Invalid
+      rows/cols are held at exactly zero (incl. their diagonal), which
+      keeps the padded iteration *identical* to the unpadded one: a
+      block-diagonal [[A, 0], [0, 0]] matrix's SVD shrinkage acts blockwise
+      and zero blocks contribute nothing to residual norms (which are
+      normalized by the valid count, as the reference normalizes by N).
 
+    Returns binary match matrices (..., N, N) uint8 (threshold 0.5).
     Semantics follow reference step2:130-216 with ``dual_stochastic=False``
     (the configuration the pipeline runs: step2:30, step2:589-595).
     """
     N = S.shape[-1]
     eye = jnp.eye(N, dtype=bool)
 
+    if valid is None:
+        diag_mask = eye
+        n_eff = jnp.asarray(float(N))
+        pair_valid = jnp.ones(S.shape[-2:], bool)
+    else:
+        pair_valid = valid[..., :, None] & valid[..., None, :]
+        diag_mask = eye & pair_valid
+        n_eff = jnp.maximum(jnp.sum(valid, axis=-1).astype(S.dtype), 1.0)
+
     S = jnp.where(eye, 0.0, S)
+    S = jnp.where(pair_valid, S, 0.0)
     S = (S + jnp.swapaxes(S, -1, -2)) / 2
     X0_init = S
     Y0 = jnp.zeros_like(S)
@@ -77,7 +94,8 @@ def match_svt(
         X = Q - (W + Y) / muM
         X = jnp.where(same_block, 0.0, X)
         if pselect == 1:
-            X = jnp.where(eye, 1.0, X)
+            X = jnp.where(diag_mask, 1.0, X)
+        X = jnp.where(pair_valid, X, 0.0)
         X = jnp.clip(X, 0.0, 1.0)
         if dual_stochastic:
             # row/column simplex projection within cross-camera blocks is
@@ -89,10 +107,13 @@ def match_svt(
         X = (X + jnp.swapaxes(X, -1, -2)) / 2
         Y = Y + muM * (X - Q)
 
-        pRes = jnp.linalg.norm((X - Q).reshape(*X.shape[:-2], -1), axis=-1) / N
+        dQ = jnp.where(pair_valid, X - Q, 0.0)
+        pRes = jnp.linalg.norm(
+            dQ.reshape(*X.shape[:-2], -1), axis=-1
+        ) / n_eff
         dRes = mu * jnp.linalg.norm(
             (X - Xprev).reshape(*X.shape[:-2], -1), axis=-1
-        ) / N
+        ) / n_eff
         conv = (pRes < tol) & (dRes < tol)
         done = jnp.all(conv)
 

@@ -1,0 +1,155 @@
+"""Perception backends for stage 1: detection, top-down pose, collar ID.
+
+``FlaxPerception`` runs the real Flax models (nn/) as three jitted chunk
+programs; anything implementing the same three methods (e.g. the synthetic
+oracle in tests) plugs into ``run_step1`` — the reference's equivalent
+seam is the mmdet/mmpose/mmpretrain inference APIs (step1:95-122).
+
+All methods take a whole frame chunk and fixed-capacity box tables so the
+device programs compile once per chunk shape.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Protocol, Tuple
+
+import numpy as np
+
+
+class PerceptionBackend(Protocol):
+    max_det: int
+
+    def detect(self, frames_bgr: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """(B, H, W, 3) uint8 -> boxes (B, D, 4) xyxy image coords,
+        scores (B, D); empty slots score 0."""
+
+    def pose(self, frames_bgr: np.ndarray, boxes: np.ndarray,
+             valid: np.ndarray) -> np.ndarray:
+        """-> keypoints (B, D, 17, 3) [x, y, score] in image coords."""
+
+    def classify(self, frames_bgr: np.ndarray, boxes: np.ndarray,
+                 valid: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """-> (labels (B, D) int, scores (B, D))."""
+
+
+@dataclass
+class FlaxPerception:
+    """Real-model backend: Swin Mask R-CNN + ViTPose + ResNet-152."""
+
+    detector_model: object
+    detector_vars: dict
+    pose_model: object
+    pose_vars: dict
+    id_model: object
+    id_vars: dict
+    max_det: int = 8
+    flip_test: bool = True
+
+    def __post_init__(self):
+        import jax
+        import jax.numpy as jnp
+        from macaque_tpu.nn.preprocess import (
+            detector_input, normalize_rgb, udp_crop, bbox_to_center_scale,
+            id_crops, crop_coords_to_image,
+        )
+        from macaque_tpu.nn.heatmap import udp_decode, flip_heatmaps
+
+        det_model = self.detector_model
+        det_vars = self.detector_vars
+        pose_model = self.pose_model
+        pose_vars = self.pose_vars
+        id_model = self.id_model
+        id_vars = self.id_vars
+        D = self.max_det
+        flip = self.flip_test
+
+        @jax.jit
+        def _detect(frames):  # (B, H, W, 3) uint8 BGR
+            rgb = frames[..., ::-1].astype(jnp.float32)
+
+            def one(img):
+                padded, scale, _ = detector_input(img)
+                boxes, scores, valid = det_model.apply(det_vars, padded)
+                boxes = boxes / scale
+                k = min(D, boxes.shape[0])
+                top = jnp.argsort(-jnp.where(valid, scores, -jnp.inf))[:k]
+                return boxes[top], jnp.where(valid[top], scores[top], 0.0)
+
+            return jax.vmap(one)(rgb)
+
+        @jax.jit
+        def _pose(frames, boxes, valid):  # boxes (B, D, 4)
+            rgb = frames[..., ::-1].astype(jnp.float32)
+            B = frames.shape[0]
+            flat_boxes = boxes.reshape(B * D, 4)
+            centers, scales = bbox_to_center_scale(flat_boxes)
+            frame_idx = jnp.repeat(jnp.arange(B), D)
+
+            def crop_one(fi, c, s):
+                return udp_crop(rgb[fi], c[None], s[None])[0]
+
+            crops = jax.vmap(crop_one)(frame_idx, centers, scales)
+            crops = normalize_rgb(crops)
+
+            def apply_fn(v, x):
+                return pose_model.apply(v, x, train=False)
+
+            hm = apply_fn(pose_vars, crops)
+            if flip:
+                hm_f = apply_fn(pose_vars, crops[:, :, ::-1, :])
+                hm = 0.5 * (hm + flip_heatmaps(hm_f))
+            kp, scores = udp_decode(hm)
+            kp_img = crop_coords_to_image(
+                kp.reshape(B * D, -1, 2), centers, scales
+            )
+            out = jnp.concatenate([kp_img, scores[..., None]], axis=-1)
+            out = out.reshape(B, D, -1, 3)
+            return jnp.where(valid[..., None, None], out, jnp.nan)
+
+        @jax.jit
+        def _classify(frames, boxes, valid):
+            rgb = frames[..., ::-1].astype(jnp.float32)
+            B = frames.shape[0]
+            flat_boxes = boxes.reshape(B * D, 4)
+            frame_idx = jnp.repeat(jnp.arange(B), D)
+
+            def crop_one(fi, b):
+                return id_crops(rgb[fi], b[None])[0]
+
+            crops = jax.vmap(crop_one)(frame_idx, flat_boxes)
+            crops = normalize_rgb(crops)
+            logits = id_model.apply(id_vars, crops, train=False)
+            probs = jax.nn.softmax(logits, axis=-1)
+            labels = jnp.argmax(probs, axis=-1).reshape(B, D)
+            scores = jnp.max(probs, axis=-1).reshape(B, D)
+            labels = jnp.where(valid, labels, -1)
+            scores = jnp.where(valid, scores, 0.0)
+            return labels, scores
+
+        self._detect_fn = _detect
+        self._pose_fn = _pose
+        self._classify_fn = _classify
+
+    def detect(self, frames_bgr):
+        import jax.numpy as jnp
+
+        b, s = self._detect_fn(jnp.asarray(frames_bgr))
+        return np.asarray(b), np.asarray(s)
+
+    def pose(self, frames_bgr, boxes, valid):
+        import jax.numpy as jnp
+
+        out = self._pose_fn(
+            jnp.asarray(frames_bgr), jnp.asarray(boxes), jnp.asarray(valid)
+        )
+        return np.asarray(out)
+
+    def classify(self, frames_bgr, boxes, valid):
+        import jax.numpy as jnp
+
+        l, s = self._classify_fn(
+            jnp.asarray(frames_bgr), jnp.asarray(boxes), jnp.asarray(valid)
+        )
+        return np.asarray(l), np.asarray(s)

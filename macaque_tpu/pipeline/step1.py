@@ -1,0 +1,206 @@
+"""Stage 1 — per-camera 2D: detect -> track -> pose -> ID -> EMA smooth.
+
+Reference: step1_proc2d.py:166-452. Re-architected for TPU throughput:
+the reference syncs GPU<->CPU on every frame (detector forward, tracker,
+pose forward, classifier per frame); here frames are processed in chunks —
+one batched device call per model per chunk, with the tiny tracker /
+EMA / assembly logic on host between them.
+
+Per-frame behavioral parity (thresholds, margin expansion, aspect snap,
+EMA gating, output schema) follows step1:226-362.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+from macaque_tpu.core.config import Step1Config
+from macaque_tpu.pipeline.artifacts import write_alldata, stage_done
+from macaque_tpu.pipeline.perception import PerceptionBackend
+from macaque_tpu.tracking import BotSortTracker, TrackerParams
+from macaque_tpu.video.imgstore import ImgStoreReader
+from macaque_tpu.video.timegrid import make_time_grid, align_time_grid
+
+
+def expand_boxes(boxes: np.ndarray, cfg: Step1Config) -> np.ndarray:
+    """Dynamic margin + aspect snap (reference step1:271-285).
+    boxes (N, 4) int xyxy -> (N, 4) float xyxy (expanded)."""
+    out = []
+    for x1, y1, x2, y2 in boxes:
+        w, h = float(x2 - x1), float(y2 - y1)
+        cx, cy = x1 + 0.5 * w, y1 + 0.5 * h
+        frac = np.clip((h - 50.0) / 150.0, 0.0, 1.0)
+        margin = cfg.max_margin - (cfg.max_margin - cfg.min_margin) * frac
+        w_new, h_new = w * (1 + margin), h * (1 + margin)
+        ar = w_new / h_new
+        if abs(ar - cfg.desired_ar) > 0.20:
+            if ar < cfg.desired_ar:
+                w_new = h_new * cfg.desired_ar
+            else:
+                h_new = w_new / cfg.desired_ar
+        out.append([cx - w_new / 2, cy - h_new / 2,
+                    cx + w_new / 2, cy + h_new / 2])
+    return np.asarray(out, np.float32).reshape(-1, 4)
+
+
+class EmaSmoother:
+    """Per-track EMA with displacement gate (reference step1:319-342)."""
+
+    def __init__(self, alpha: float, disp_thr: float):
+        self.alpha = alpha
+        self.disp_thr = disp_thr
+        self.prev: dict[int, np.ndarray] = {}
+
+    def smooth(self, tid: int, kp: np.ndarray) -> np.ndarray:
+        kp = kp.copy()
+        prev = self.prev.get(tid)
+        if prev is not None:
+            vb = ~(np.isnan(prev[:, 0]) | np.isnan(kp[:, 0]))
+            disp = np.zeros(kp.shape[0])
+            disp[vb] = np.linalg.norm(kp[vb, :2] - prev[vb, :2], axis=1)
+            m = (disp < self.disp_thr) & vb
+            kp[m, :2] = self.alpha * prev[m, :2] + (1 - self.alpha) * kp[m, :2]
+        self.prev[tid] = kp
+        return kp
+
+
+def process_camera(
+    store: ImgStoreReader,
+    out_dir: str,
+    T: np.ndarray,
+    perception: PerceptionBackend,
+    cfg: Step1Config = Step1Config(),
+    chunk: int = 32,
+    redo: bool = False,
+) -> None:
+    if stage_done(os.path.join(out_dir, "alldata.json"),
+                  os.path.join(out_dir, "frame_num.npy")) and not redo:
+        print(f"[step1] skip (exists): {out_dir}")
+        return
+
+    md = store.get_frame_metadata()
+    t_cam, fnums = md["frame_time"], md["frame_number"]
+    rows = align_time_grid(t_cam, T)            # grid tick -> frame row
+    uniq_rows, inverse = np.unique(rows, return_inverse=True)
+
+    tracker = BotSortTracker(TrackerParams(
+        track_high_thresh=cfg.tracker.track_high_thresh,
+        track_low_thresh=cfg.tracker.track_low_thresh,
+        new_track_thresh=cfg.tracker.new_track_thresh,
+        track_buffer=cfg.tracker.track_buffer,
+        match_thresh=cfg.tracker.match_thresh,
+    ))
+    ema = EmaSmoother(cfg.ema_alpha, cfg.disp_thr)
+    D = perception.max_det
+
+    per_row_result: dict[int, list] = {}
+
+    for c0 in range(0, len(uniq_rows), chunk):
+        rows_c = uniq_rows[c0 : c0 + chunk]
+        frames = np.stack([store.get_image(frame_index=int(r))[0]
+                           for r in rows_c])
+
+        boxes_all, scores_all = perception.detect(frames)  # (B, D, 4/…)
+
+        # host: threshold + track per frame, build fixed box tables
+        pose_boxes = np.zeros((len(rows_c), D, 4), np.float32)
+        id_boxes = np.zeros((len(rows_c), D, 4), np.float32)
+        valid = np.zeros((len(rows_c), D), bool)
+        tids_tbl = np.full((len(rows_c), D), -1, int)
+        for bi in range(len(rows_c)):
+            keep = scores_all[bi] > cfg.score_thr
+            det_boxes = boxes_all[bi][keep]
+            det_scores = scores_all[bi][keep]
+            tb, tids = tracker.update(det_boxes, det_scores)
+            ok = []
+            for (x1, y1, x2, y2), tid in zip(tb, tids):
+                xi1, yi1, xi2, yi2 = map(int, (x1, y1, x2, y2))
+                if xi2 > xi1 and yi2 > yi1:
+                    ok.append(((xi1, yi1, xi2, yi2), tid))
+            ok = ok[:D]
+            if not ok:
+                continue
+            ib = np.asarray([b for b, _ in ok], np.float32)
+            eb = expand_boxes(np.asarray([b for b, _ in ok]), cfg)
+            n = len(ok)
+            id_boxes[bi, :n] = ib
+            pose_boxes[bi, :n] = eb
+            valid[bi, :n] = True
+            tids_tbl[bi, :n] = [t for _, t in ok]
+
+        kps = perception.pose(frames, pose_boxes, valid)        # (B, D, J, 3)
+        labels, lscores = perception.classify(frames, id_boxes, valid)
+
+        # host: per-joint threshold + EMA + row assembly
+        for bi, r in enumerate(rows_c):
+            frame_json = []
+            for k in range(D):
+                if not valid[bi, k]:
+                    continue
+                kp = kps[bi, k].copy()
+                low = kp[:, 2] < cfg.kp_thr
+                kp[low, :2] = np.nan
+                kp[low, 2] = 0.0
+                kp = ema.smooth(int(tids_tbl[bi, k]), kp)
+                x1, y1, x2, y2 = id_boxes[bi, k]
+                lab = int(labels[bi, k])
+                lsc = float(lscores[bi, k])
+                assigned = lab if lsc >= cfg.id_conf_thr else -1
+                frame_json.append([
+                    int(tids_tbl[bi, k]),
+                    float(x1), float(y1), float(x2), float(y2),
+                    [[float(a), float(b), float(c)] for a, b, c in kp],
+                    assigned, lsc,
+                ])
+            per_row_result[int(r)] = frame_json
+
+    # expand unique-row results back onto the time grid, then keep rows
+    # whose frame number exists in the store (reference step1:364-375)
+    results_all = [per_row_result.get(int(r), []) for r in rows]
+    fnums_out = [int(fnums[r]) for r in rows]
+    valid_set = set(int(f) for f in fnums)
+    clean_res, clean_fnums = [], []
+    for res, fn in zip(results_all, fnums_out):
+        if fn in valid_set:
+            clean_res.append(res)
+            clean_fnums.append(fn)
+    write_alldata(out_dir, clean_res, np.asarray(clean_fnums))
+    print(f"[step1] wrote {len(clean_res)} frames -> {out_dir}")
+
+
+def run_step1(
+    data_name: str,
+    results_root: str,
+    raw_root: str,
+    perception: PerceptionBackend,
+    fps: float = 24.0,
+    t_intv=None,
+    cfg: Step1Config = Step1Config(),
+    chunk: int = 32,
+    redo: bool = False,
+) -> list[str]:
+    """All cameras for a recording (reference step1_proc2d_custom:389-447).
+    Per-camera state (tracker, EMA) is fresh per camera."""
+    import glob
+
+    pattern = os.path.join(raw_root, f"{data_name}.*", "metadata.yaml")
+    metas = sorted(glob.glob(pattern))
+    if not metas:
+        raise FileNotFoundError(f"no imgstore for {data_name} in {raw_root}")
+    stores = [ImgStoreReader(p) for p in metas]
+
+    T = make_time_grid(stores[0].get_frame_metadata()["frame_time"], fps,
+                       t_intv)
+    out_dirs = []
+    for store in stores:
+        cam = os.path.basename(store.filename).split(".")[-1]
+        # a camera-specific backend may be supplied as a factory, mirroring
+        # the reference's per-camera ID-model variants (step1:424-430)
+        backend = perception(cam) if callable(perception) else perception
+        out_dir = os.path.join(results_root, data_name, cam)
+        process_camera(store, out_dir, T, backend, cfg, chunk, redo)
+        out_dirs.append(out_dir)
+    return out_dirs
