@@ -1,0 +1,31 @@
+"""Camera calibration suite: board detection (host OpenCV), omnidir
+intrinsic calibration and multi-camera bundle adjustment in JAX.
+
+Replaces the reference's calibration toolchain
+(src/utils/multicam_toolbox.py): chessboard/aruco analyzers (:22-72,
+244-391), ``calibrate_intrinsic`` via cv2.omnidir (:74-116),
+``optimize_extrinsic`` (:488-636) and ``optimize_all_camera_params``
+(:638-824) via scipy sparse least-squares. Here the Mei projection model
+is differentiable JAX, so every optimization is the shared LM-CG engine
+on device — no hand-built jacobian sparsity patterns.
+"""
+
+from macaque_tpu.calib.bundle import (
+    calibrate_intrinsics_omnidir,
+    bundle_adjust_extrinsics,
+    bundle_adjust_full,
+)
+from macaque_tpu.calib.boards import (
+    find_chessboard_corners,
+    detect_charuco,
+    solve_pnp_extrinsics,
+)
+
+__all__ = [
+    "calibrate_intrinsics_omnidir",
+    "bundle_adjust_extrinsics",
+    "bundle_adjust_full",
+    "find_chessboard_corners",
+    "detect_charuco",
+    "solve_pnp_extrinsics",
+]

@@ -77,7 +77,8 @@ class FlaxPerception:
                 top = jnp.argsort(-jnp.where(valid, scores, -jnp.inf))[:k]
                 return boxes[top], jnp.where(valid[top], scores[top], 0.0)
 
-            return jax.vmap(one)(rgb)
+            # sequential over frames: RPN NMS holds an O(N^2) IoU matrix
+            return jax.lax.map(one, rgb)
 
         @jax.jit
         def _pose(frames, boxes, valid):  # boxes (B, D, 4)
