@@ -2,16 +2,22 @@
 """Benchmark: end-to-end per-camera 2D perception + 3D triangulation
 throughput on one TPU chip, in camera-frames/sec.
 
-Measures the full flagship compute path on real model sizes (random
-weights — throughput is weight-independent):
-  Swin-S Mask R-CNN detection on 800x608 frames
-  + ViTPose-huge top-down pose (4 crops/frame, flip test)
-  + ResNet-152 collar-ID classification
-  + multi-view DLT triangulation of the decoded keypoints
+Measures the flagship compute path at real model sizes (random weights —
+throughput is weight-independent): Swin-S Mask R-CNN detection (800x608)
++ ViTPose-huge top-down pose (4 crops/frame, flip test) + ResNet-152
+collar-ID classification + multi-view DLT triangulation.
+
+Measurement method: this environment executes device programs through a
+remote tunnel where ``block_until_ready`` is a no-op and every host fetch
+costs tens of seconds of fixed latency. Each stage therefore runs its
+iterations *inside* one device program (``lax.fori_loop`` whose carry
+perturbs the next iteration's input, preventing dedup/caching), with a
+dynamic trip count; per-iteration time is the difference between a long
+and a short trip count, which cancels the fixed upload/fetch overhead.
 
 Baseline (BASELINE.md): the reference runs ~6.4 camera-frames/s aggregate
 (8 cams) on one Quadro RTX 8000 (info_replication.md:44-45) —
-``vs_baseline`` is measured camera-frames/s/chip divided by 6.4.
+``vs_baseline`` is camera-frames/s/chip divided by 6.4.
 
 Prints ONE json line on stdout; diagnostics go to stderr.
 """
@@ -47,41 +53,124 @@ def main():
     n_cam = int(os.environ.get("BENCH_CAMS", 4))
     frames_per_cam = int(os.environ.get("BENCH_FRAMES", 4))
     n_det = int(os.environ.get("BENCH_DETS", 4))
+    n_short = int(os.environ.get("BENCH_N_SHORT", 1))
+    n_long = int(os.environ.get("BENCH_N_LONG", 9))
     B = n_cam * frames_per_cam
     H, W = 800, 608
 
-    log(f"devices: {jax.devices()}")
+    log(f"devices: {jax.devices()}  B={B} dets/frame={n_det}")
     dtype = jnp.bfloat16
-
-    det_model = SwinMaskRCNN(DetectorConfig(
-        swin=SwinConfig(compute_dtype=dtype),
-        compute_dtype=dtype,
-        rpn_nms_pre=int(os.environ.get("BENCH_NMS_PRE", 1000)),
-    ))
-    pose_model = ViTPose(VitPoseConfig(compute_dtype=dtype))
-    id_model = ResNetClassifier(ResNetConfig(compute_dtype=dtype))
-
     rng = jax.random.PRNGKey(0)
-    log("initializing models (full size, eval_shape + filled params)...")
 
     def make_vars(model, example):
         shapes = jax.eval_shape(model.init, rng, example)
-        # small constant params: fast to materialize, value-independent
-        # throughput; avoids compiling init forwards through the tunnel
-        return jax.tree.map(
-            lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes
-        )
+        return jax.tree.map(lambda s: jnp.full(s.shape, 0.01, s.dtype),
+                            shapes)
 
-    det_vars = make_vars(det_model, jnp.zeros((1, H, W, 3)))
-    pose_vars = make_vars(pose_model, jnp.zeros((1, 256, 192, 3)))
-    id_vars = make_vars(id_model, jnp.zeros((1, 224, 224, 3)))
-    n_params = sum(
-        x.size for x in jax.tree.leaves(pose_vars["params"])
-    )
-    log(f"vitpose params: {n_params/1e6:.0f}M")
-
-    # synthetic rig for the triangulation tail
     npr = np.random.default_rng(0)
+    frames = jnp.asarray(npr.integers(0, 255, (B, H, W, 3), dtype=np.uint8))
+    boxes = jnp.asarray(
+        np.tile(np.array([100.0, 100, 400, 500]), (B, n_det, 1))
+        + npr.uniform(0, 50, (B, n_det, 4))
+    )
+
+    def measure(name, loop_fn, *args):
+        """loop_fn(n, *args) -> scalar; dynamic trip count n."""
+        fn = jax.jit(loop_fn)
+        t0 = time.time()
+        float(fn(jnp.int32(n_short), *args))  # compile + first fetch
+        t_compile = time.time() - t0
+        t0 = time.time()
+        float(fn(jnp.int32(n_short + 1), *args))
+        t_short = time.time() - t0
+        t0 = time.time()
+        float(fn(jnp.int32(n_long + 1), *args))
+        t_long = time.time() - t0
+        per_iter = max(t_long - t_short, 1e-9) / (n_long - n_short)
+        log(f"{name}: compile+first {t_compile:.1f}s, "
+            f"short({n_short+1}) {t_short:.1f}s, long({n_long+1}) "
+            f"{t_long:.1f}s -> {per_iter*1000:.1f} ms/chunk")
+        return per_iter
+
+    results = {}
+
+    # ------------------------------------------------------- detection
+    det_model = SwinMaskRCNN(DetectorConfig(
+        swin=SwinConfig(compute_dtype=dtype), compute_dtype=dtype,
+        rpn_nms_pre=int(os.environ.get("BENCH_NMS_PRE", 1000)),
+    ))
+    det_vars = make_vars(det_model, jnp.zeros((1, H, W, 3)))
+
+    def det_loop(n, det_vars, frames):
+        def body(i, carry):
+            f = frames + carry.astype(jnp.uint8)
+            imgs = normalize_rgb(f.astype(jnp.float32))
+            b, s, v = jax.lax.map(
+                lambda im: det_model.apply(det_vars, im[None]), imgs
+            )
+            return jnp.sum(s).astype(jnp.int32) % 3 + i * 0
+
+        return jax.lax.fori_loop(0, n, body, jnp.int32(0))
+
+    results["det"] = measure("detect", det_loop, det_vars, frames)
+    del det_vars
+
+    # ------------------------------------------------------------ pose
+    pose_model = ViTPose(VitPoseConfig(compute_dtype=dtype))
+    pose_vars = make_vars(pose_model, jnp.zeros((1, 256, 192, 3)))
+    n_params = sum(x.size for x in jax.tree.leaves(pose_vars["params"]))
+    log(f"vitpose params: {n_params/1e6:.0f}M; "
+        f"{B*n_det} crops/chunk, flip test")
+
+    def crops_from(frames, boxes):
+        imgs = normalize_rgb(frames.astype(jnp.float32))
+        flat_boxes = boxes.reshape(-1, 4)
+        centers, scales = bbox_to_center_scale(flat_boxes)
+        fidx = jnp.repeat(jnp.arange(B), n_det)
+        crops = jax.vmap(
+            lambda fi, c, s: udp_crop(imgs[fi], c[None], s[None])[0]
+        )(fidx, centers, scales)
+        return crops, centers, scales
+
+    def pose_loop(n, pose_vars, frames, boxes):
+        def body(i, carry):
+            f = frames + carry.astype(jnp.uint8)
+            crops, centers, scales = crops_from(f, boxes)
+            hm = pose_model.apply(pose_vars, crops)
+            hm_f = pose_model.apply(pose_vars, crops[:, :, ::-1, :])
+            hm = 0.5 * (hm.astype(jnp.float32)
+                        + flip_heatmaps(hm_f.astype(jnp.float32)))
+            kp, ks = udp_decode(hm)
+            kp = crop_coords_to_image(kp, centers, scales)
+            return jnp.sum(kp).astype(jnp.int32) % 3 + i * 0
+
+        return jax.lax.fori_loop(0, n, body, jnp.int32(0))
+
+    results["pose"] = measure("pose", pose_loop, pose_vars, frames, boxes)
+    del pose_vars
+
+    # -------------------------------------------------------------- id
+    id_model = ResNetClassifier(ResNetConfig(compute_dtype=dtype))
+    id_vars = make_vars(id_model, jnp.zeros((1, 224, 224, 3)))
+
+    def id_loop(n, id_vars, frames, boxes):
+        def body(i, carry):
+            f = frames + carry.astype(jnp.uint8)
+            imgs = normalize_rgb(f.astype(jnp.float32))
+            flat_boxes = boxes.reshape(-1, 4)
+            fidx = jnp.repeat(jnp.arange(B), n_det)
+            crops = jax.vmap(
+                lambda fi, b: id_crops(imgs[fi], b[None])[0]
+            )(fidx, flat_boxes)
+            logits = id_model.apply(id_vars, crops)
+            return jnp.sum(logits).astype(jnp.int32) % 3 + i * 0
+
+        return jax.lax.fori_loop(0, n, body, jnp.int32(0))
+
+    results["id"] = measure("id", id_loop, id_vars, frames, boxes)
+    del id_vars
+
+    # ---------------------------------------------------- triangulation
     cam = OmnidirCamera(
         K=jnp.asarray(np.tile(np.array([[800.0, 0, 304], [0, 800, 400],
                                         [0, 0, 1]]), (n_cam, 1, 1))),
@@ -91,73 +180,30 @@ def main():
         tvec=jnp.asarray(np.concatenate(
             [npr.normal(0, 10, (n_cam, 2)), np.full((n_cam, 1), 2500.0)], 1)),
     )
-
-    @jax.jit
-    def chunk_step(det_vars, pose_vars, id_vars, frames, boxes):
-        """frames: (B, H, W, 3) uint8; boxes: (B, n_det, 4).
-        Full perception compute for one chunk + triangulation."""
-        imgs = normalize_rgb(frames.astype(jnp.float32))
-
-        def det_one(img):
-            return det_model.apply(det_vars, img[None])
-
-        # sequential over frames: the RPN NMS holds an O(N^2) IoU matrix
-        # (~5k proposals); vmapping 16 frames would need ~20 GB HBM
-        d_boxes, d_scores, d_valid = jax.lax.map(det_one, imgs)
-
-        flat_boxes = boxes.reshape(-1, 4)
-        centers, scales = bbox_to_center_scale(flat_boxes)
-        fidx = jnp.repeat(jnp.arange(B), n_det)
-
-        def crop_one(fi, c, s):
-            return udp_crop(imgs[fi], c[None], s[None])[0]
-
-        crops = jax.vmap(crop_one)(fidx, centers, scales)
-        hm = pose_model.apply(pose_vars, crops)
-        hm_f = pose_model.apply(pose_vars, crops[:, :, ::-1, :])
-        hm = 0.5 * (hm.astype(jnp.float32)
-                    + flip_heatmaps(hm_f.astype(jnp.float32)))
-        kp, kscore = udp_decode(hm)
-        kp_img = crop_coords_to_image(kp, centers, scales)
-
-        def idcrop_one(fi, b):
-            return id_crops(imgs[fi], b[None])[0]
-
-        icrops = jax.vmap(idcrop_one)(fidx, flat_boxes)
-        logits = id_model.apply(id_vars, icrops)
-
-        # triangulate: reshape to (n_cam, frames*n_det*J) observations
-        kp_cam = kp_img.reshape(n_cam, frames_per_cam * n_det, -1, 2)
-        und = omnidir_undistort(cam, kp_cam.reshape(n_cam, -1, 2))
-        undT = jnp.swapaxes(und, 0, 1)
-        mask = jnp.ones(undT.shape[:2], bool)
-        p3d = triangulate_dlt(jnp.nan_to_num(undT), cam.pmat, mask)
-        return d_boxes, d_scores, kp_img, kscore, logits, p3d
-
-    frames = jnp.asarray(
-        npr.integers(0, 255, (B, H, W, 3), dtype=np.uint8)
-    )
-    boxes = jnp.asarray(
-        np.tile(np.array([100.0, 100, 400, 500]), (B, n_det, 1))
-        + npr.uniform(0, 50, (B, n_det, 4))
+    kp_fake = jnp.asarray(
+        npr.uniform(100, 700, (n_cam, frames_per_cam * n_det * 17, 2))
     )
 
-    log("compiling chunk step...")
-    t0 = time.time()
-    out = chunk_step(det_vars, pose_vars, id_vars, frames, boxes)
-    jax.block_until_ready(out)
-    log(f"compile+first run: {time.time()-t0:.1f}s")
+    def tri_loop(n, kp):
+        def body(i, carry):
+            k = kp + carry
+            und = omnidir_undistort(cam, k)
+            undT = jnp.swapaxes(und, 0, 1)
+            mask = jnp.ones(undT.shape[:2], bool)
+            p3d = triangulate_dlt(jnp.nan_to_num(undT), cam.pmat, mask)
+            return jnp.nansum(p3d) * 1e-9 + i * 0.0
 
-    iters = int(os.environ.get("BENCH_ITERS", 5))
-    t0 = time.time()
-    for _ in range(iters):
-        out = chunk_step(det_vars, pose_vars, id_vars, frames, boxes)
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / iters
-    cf_per_s = B / dt
-    log(f"chunk: {B} camera-frames in {dt*1000:.1f} ms")
+        return jax.lax.fori_loop(0, n, body, jnp.float64(0.0)
+                                 if False else jnp.float32(0.0))
 
-    baseline = 6.4  # reference camera-frames/s aggregate on RTX 8000
+    results["tri"] = measure("triangulate", tri_loop, kp_fake)
+
+    total = sum(results.values())
+    cf_per_s = B / total
+    log(f"total {total*1000:.0f} ms per {B} camera-frames "
+        f"({ {k: round(v*1000, 1) for k, v in results.items()} } ms)")
+
+    baseline = 6.4
     print(json.dumps({
         "metric": "e2e_camera_frames_per_sec_per_chip",
         "value": round(cf_per_s, 2),

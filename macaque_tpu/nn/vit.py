@@ -34,6 +34,7 @@ class VitPoseConfig:
     deconv_channels: Tuple[int, ...] = (256, 256)
     ln_eps: float = 1e-6
     compute_dtype: Any = jnp.float32
+    use_pallas_attention: bool = False  # fused QKV->softmax->PV kernel
 
     @property
     def grid(self) -> Tuple[int, int]:
@@ -55,7 +56,12 @@ class Attention(nn.Module):
         def heads(t):
             return t.reshape(B, N, c.num_heads, D // c.num_heads)
 
-        out = jax.nn.dot_product_attention(heads(q), heads(k), heads(v))
+        if c.use_pallas_attention:
+            from macaque_tpu.nn.pallas_attention import fused_attention
+
+            out = fused_attention(heads(q), heads(k), heads(v))
+        else:
+            out = jax.nn.dot_product_attention(heads(q), heads(k), heads(v))
         out = out.reshape(B, N, D)
         return nn.Dense(D, dtype=c.compute_dtype, name="proj")(out)
 

@@ -97,6 +97,8 @@ def process_camera(
     D = perception.max_det
 
     per_row_result: dict[int, list] = {}
+    missed_detections = 0  # runtime guardrails (reference step1:230-249)
+    missed_tracks = 0
 
     for c0 in range(0, len(uniq_rows), chunk):
         rows_c = uniq_rows[c0 : c0 + chunk]
@@ -114,7 +116,11 @@ def process_camera(
             keep = scores_all[bi] > cfg.score_thr
             det_boxes = boxes_all[bi][keep]
             det_scores = scores_all[bi][keep]
+            if det_boxes.shape[0] == 0:
+                missed_detections += 1
             tb, tids = tracker.update(det_boxes, det_scores)
+            if det_boxes.shape[0] > 0 and len(tids) == 0:
+                missed_tracks += 1
             ok = []
             for (x1, y1, x2, y2), tid in zip(tb, tids):
                 xi1, yi1, xi2, yi2 = map(int, (x1, y1, x2, y2))
@@ -168,7 +174,11 @@ def process_camera(
             clean_res.append(res)
             clean_fnums.append(fn)
     write_alldata(out_dir, clean_res, np.asarray(clean_fnums))
-    print(f"[step1] wrote {len(clean_res)} frames -> {out_dir}")
+    print(
+        f"[step1] wrote {len(clean_res)} frames -> {out_dir} "
+        f"({missed_detections} frames without detections, "
+        f"{missed_tracks} with detections but no tracks)"
+    )
 
 
 def run_step1(
@@ -195,6 +205,7 @@ def run_step1(
     T = make_time_grid(stores[0].get_frame_metadata()["frame_time"], fps,
                        t_intv)
     out_dirs = []
+    # (standalone CLI at module bottom mirrors reference step1:455-479)
     for store in stores:
         cam = os.path.basename(store.filename).split(".")[-1]
         # a camera-specific backend may be supplied as a factory, mirroring
@@ -204,3 +215,40 @@ def run_step1(
         process_camera(store, out_dir, T, backend, cfg, chunk, redo)
         out_dirs.append(out_dir)
     return out_dirs
+
+
+if __name__ == "__main__":
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="Stage 1: per-camera 2D (reference step1:455-479)"
+    )
+    parser.add_argument("data")
+    parser.add_argument("--raw_root", default="./videos")
+    parser.add_argument("--res_root", default="./results2d")
+    parser.add_argument("--weights", default="./model")
+    parser.add_argument("--fps", type=float, default=24.0)
+    parser.add_argument("--start", type=float)
+    parser.add_argument("--end", type=float)
+    parser.add_argument("--redo", action="store_true")
+    args = parser.parse_args()
+
+    interval = None
+    if args.start is not None and args.end is not None:
+        interval = (args.start, args.end)
+
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.getcwd())
+    from run_demo import build_flax_perception
+
+    run_step1(
+        data_name=args.data,
+        results_root=args.res_root,
+        raw_root=args.raw_root,
+        perception=build_flax_perception(args.weights),
+        fps=args.fps,
+        t_intv=interval,
+        redo=args.redo,
+    )
