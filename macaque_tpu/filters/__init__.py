@@ -11,6 +11,10 @@ from macaque_tpu.filters.smoothing import (
     ema_smooth,
 )
 from macaque_tpu.filters.viterbi import viterbi_filter, viterbi_filter_joints
+from macaque_tpu.filters.autoencoder import (
+    train_autoencoder,
+    filter_scores_autoencoder,
+)
 
 __all__ = [
     "interpolate_nan",
@@ -18,4 +22,6 @@ __all__ = [
     "ema_smooth",
     "viterbi_filter",
     "viterbi_filter_joints",
+    "train_autoencoder",
+    "filter_scores_autoencoder",
 ]
