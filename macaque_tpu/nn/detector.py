@@ -27,7 +27,7 @@ from macaque_tpu.nn.ops import (
     delta2bbox,
     nms_fixed,
     batched_nms_fixed,
-    roi_align,
+    roi_align_pyramid,
 )
 
 
@@ -167,15 +167,10 @@ class SwinMaskRCNN(nn.Module):
         lvl = jnp.floor(jnp.log2(scale / c.finest_scale + 1e-6))
         lvl = jnp.clip(lvl, 0, 3).astype(jnp.int32)
 
-        roi_feats = jnp.zeros(
-            (proposals.shape[0], 7, 7, c.fpn_channels), jnp.float32
+        roi_feats = roi_align_pyramid(
+            [f[0].astype(jnp.float32) for f in fpn_feats[:4]],
+            proposals, lvl, 7, c.strides,
         )
-        for L in range(4):
-            rf = roi_align(
-                fpn_feats[L][0].astype(jnp.float32), proposals, 7,
-                1.0 / c.strides[L],
-            )
-            roi_feats = jnp.where((lvl == L)[:, None, None, None], rf, roi_feats)
 
         cls_logits, reg = self.bbox_head(roi_feats.astype(c.compute_dtype))
         probs = jax.nn.softmax(cls_logits, axis=-1)

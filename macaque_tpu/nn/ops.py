@@ -226,3 +226,71 @@ def roi_align(feat: jnp.ndarray, rois: jnp.ndarray, out_size: int,
     R = rois.shape[0]
     vals = vals.reshape(R, out_size, s, out_size, s, C)
     return vals.mean(axis=(2, 4))
+
+
+def roi_align_pyramid(feats, rois: jnp.ndarray, levels: jnp.ndarray,
+                      out_size: int, strides, sampling_ratio: int = 2
+                      ) -> jnp.ndarray:
+    """RoIAlign over an FPN pyramid with one gather pass.
+
+    Instead of aligning every RoI against every level and masking (4x
+    wasted gather traffic), the level maps are flattened into one
+    (sum(H*W), C) table and each RoI's bilinear samples index into its
+    assigned level via a per-level offset.
+
+    feats: list of (H_l, W_l, C); rois (R, 4) image-coord xyxy;
+    levels (R,) int in [0, len(feats)). Returns (R, out, out, C).
+    """
+    C = feats[0].shape[-1]
+    Hs = np.array([f.shape[0] for f in feats])
+    Ws = np.array([f.shape[1] for f in feats])
+    offsets = np.concatenate([[0], np.cumsum(Hs * Ws)[:-1]])
+    table = jnp.concatenate([f.reshape(-1, C) for f in feats], axis=0)
+
+    scale = jnp.asarray(1.0 / np.asarray(strides)[: len(feats)],
+                        rois.dtype)[levels]          # (R,)
+    Hr = jnp.asarray(Hs)[levels]
+    Wr = jnp.asarray(Ws)[levels]
+    off = jnp.asarray(offsets)[levels]
+
+    x1 = rois[:, 0] * scale - 0.5
+    y1 = rois[:, 1] * scale - 0.5
+    x2 = rois[:, 2] * scale - 0.5
+    y2 = rois[:, 3] * scale - 0.5
+    bin_w = (x2 - x1) / out_size
+    bin_h = (y2 - y1) / out_size
+
+    s = sampling_ratio
+    grid = (jnp.arange(out_size * s) + 0.5) / s  # fractional bin coords
+    gx = x1[:, None] + grid[None, :] * bin_w[:, None]   # (R, out*s)
+    gy = y1[:, None] + grid[None, :] * bin_h[:, None]
+
+    yq = jnp.broadcast_to(gy[:, :, None], (rois.shape[0], out_size * s,
+                                           out_size * s))
+    xq = jnp.broadcast_to(gx[:, None, :], yq.shape)
+
+    y0 = jnp.floor(yq)
+    x0 = jnp.floor(xq)
+    wy = (yq - y0)[..., None]
+    wx = (xq - x0)[..., None]
+    Hm = (Hr - 1)[:, None, None]
+    Wm = (Wr - 1)[:, None, None]
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, Hm)
+    y1i = jnp.clip(y0i + 1, 0, Hm)
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, Wm)
+    x1i = jnp.clip(x0i + 1, 0, Wm)
+    inside = (yq > -1.0) & (yq < Hr[:, None, None]) & \
+             (xq > -1.0) & (xq < Wr[:, None, None])
+
+    base = off[:, None, None]
+    Wrow = Wr[:, None, None]
+    v00 = table[base + y0i * Wrow + x0i]
+    v01 = table[base + y0i * Wrow + x1i]
+    v10 = table[base + y1i * Wrow + x0i]
+    v11 = table[base + y1i * Wrow + x1i]
+    val = (v00 * (1 - wy) * (1 - wx) + v01 * (1 - wy) * wx
+           + v10 * wy * (1 - wx) + v11 * wy * wx)
+    val = jnp.where(inside[..., None], val, 0.0)
+    R = rois.shape[0]
+    val = val.reshape(R, out_size, s, out_size, s, C)
+    return val.mean(axis=(2, 4))

@@ -351,3 +351,23 @@ def test_detector_smoke():
     assert boxes.shape == (10, 4)
     assert scores.shape == (10,)
     assert valid.shape == (10,)
+
+
+def test_roi_align_pyramid_matches_per_level():
+    from macaque_tpu.nn.ops import roi_align, roi_align_pyramid
+
+    rng = np.random.default_rng(8)
+    feats = [jnp.asarray(rng.normal(size=(64 // (2 ** l), 48 // (2 ** l), 8))
+                         .astype(np.float32)) for l in range(4)]
+    strides = (4, 8, 16, 32)
+    rois = jnp.asarray(rng.uniform(10, 150, (6, 2)))
+    rois = jnp.concatenate([rois, rois + rng.uniform(30, 80, (6, 2))], 1)
+    levels = jnp.asarray(rng.integers(0, 4, 6), jnp.int32)
+
+    got = np.asarray(roi_align_pyramid(feats, rois, levels, 7, strides))
+    for i in range(6):
+        L = int(levels[i])
+        want = np.asarray(
+            roi_align(feats[L], rois[i:i + 1], 7, 1.0 / strides[L])
+        )[0]
+        np.testing.assert_allclose(got[i], want, atol=1e-5)
