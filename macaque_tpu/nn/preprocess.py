@@ -57,6 +57,27 @@ def _bilinear_sample(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray):
     )
 
 
+def _interp_matrix(coords: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Linear-interpolation matrix W (len(coords), size):
+    ``W @ signal`` samples the signal at ``coords`` with border
+    replication. Bilinear weight = max(0, 1 - |coord - index|), which on
+    the MXU turns axis-separable resampling (resize, axis-aligned crops)
+    into two matmuls instead of element gathers — gathers are the slow
+    path on TPU, matmuls are the fast one."""
+    c = jnp.clip(coords, 0.0, size - 1.0)
+    idx = jnp.arange(size, dtype=c.dtype)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(c[..., :, None] - idx))
+
+
+def _matmul_resample(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray):
+    """img (H, W, C) sampled at the outer grid ys x xs -> (oh, ow, C)."""
+    H, W, _ = img.shape
+    Wy = _interp_matrix(ys, H)  # (oh, H)
+    Wx = _interp_matrix(xs, W)  # (ow, W)
+    return jnp.einsum("ih,hwc,jw->ijc", Wy, img, Wx,
+                      preferred_element_type=jnp.float32)
+
+
 def resize_bilinear(img: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
     """cv2.resize(INTER_LINEAR) half-pixel convention."""
     H, W, _ = img.shape
@@ -65,7 +86,7 @@ def resize_bilinear(img: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
     sx = W / ow
     ys = (jnp.arange(oh) + 0.5) * sy - 0.5
     xs = (jnp.arange(ow) + 0.5) * sx - 0.5
-    return _bilinear_sample(img, ys[:, None], xs[None, :])
+    return _matmul_resample(img, ys, xs)
 
 
 def detector_input(
@@ -117,7 +138,7 @@ def udp_crop(
         sy = scale[1] / (oh - 1)
         xs = center[0] - scale[0] / 2 + jnp.arange(ow) * sx
         ys = center[1] - scale[1] / 2 + jnp.arange(oh) * sy
-        return _bilinear_sample(img, ys[:, None], xs[None, :])
+        return _matmul_resample(img, ys, xs)
 
     return jax.vmap(crop_one)(centers, scales)
 
@@ -147,6 +168,6 @@ def id_crops(
         off = (resize_to - out) / 2
         xs = x1 + (off + jnp.arange(out) + 0.5) * (w / resize_to) - 0.5
         ys = y1 + (off + jnp.arange(out) + 0.5) * (h / resize_to) - 0.5
-        return _bilinear_sample(img, ys[:, None], xs[None, :])
+        return _matmul_resample(img, ys, xs)
 
     return jax.vmap(one)(bboxes.astype(jnp.float32))
