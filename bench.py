@@ -116,7 +116,9 @@ def main():
     del det_vars
 
     # ------------------------------------------------------------ pose
-    pose_model = ViTPose(VitPoseConfig(compute_dtype=dtype))
+    use_pallas = os.environ.get("BENCH_PALLAS_ATTN", "1") == "1"
+    pose_model = ViTPose(VitPoseConfig(compute_dtype=dtype,
+                                       use_pallas_attention=use_pallas))
     pose_vars = make_vars(pose_model, jnp.zeros((1, 256, 192, 3)))
     n_params = sum(x.size for x in jax.tree.leaves(pose_vars["params"]))
     log(f"vitpose params: {n_params/1e6:.0f}M; "
