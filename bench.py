@@ -116,7 +116,10 @@ def main():
     del det_vars
 
     # ------------------------------------------------------------ pose
-    use_pallas = os.environ.get("BENCH_PALLAS_ATTN", "1") == "1"
+    # measured on v5e: XLA einsum attention 140ms vs this pallas kernel
+    # 156ms per 64-crop apply (one head-panel per grid step underutilizes
+    # the MXU at N=192, D=80) — default off
+    use_pallas = os.environ.get("BENCH_PALLAS_ATTN", "0") == "1"
     pose_model = ViTPose(VitPoseConfig(compute_dtype=dtype,
                                        use_pallas_attention=use_pallas))
     pose_vars = make_vars(pose_model, jnp.zeros((1, 256, 192, 3)))
@@ -138,10 +141,12 @@ def main():
         def body(i, carry):
             f = frames + carry.astype(jnp.uint8)
             crops, centers, scales = crops_from(f, boxes)
-            hm = pose_model.apply(pose_vars, crops)
-            hm_f = pose_model.apply(pose_vars, crops[:, :, ::-1, :])
-            hm = 0.5 * (hm.astype(jnp.float32)
-                        + flip_heatmaps(hm_f.astype(jnp.float32)))
+            # flip test as one doubled batch (better MXU utilization
+            # than two applies)
+            both = jnp.concatenate([crops, crops[:, :, ::-1, :]])
+            hm2 = pose_model.apply(pose_vars, both).astype(jnp.float32)
+            m = crops.shape[0]
+            hm = 0.5 * (hm2[:m] + flip_heatmaps(hm2[m:]))
             kp, ks = udp_decode(hm)
             kp = crop_coords_to_image(kp, centers, scales)
             return jnp.sum(kp).astype(jnp.int32) % 3 + i * 0

@@ -167,8 +167,10 @@ class SwinMaskRCNN(nn.Module):
         lvl = jnp.floor(jnp.log2(scale / c.finest_scale + 1e-6))
         lvl = jnp.clip(lvl, 0, 3).astype(jnp.int32)
 
+        # RoI gathers in the compute dtype (halves HBM traffic in bf16);
+        # box coords stay f32 — bf16 cannot resolve sub-pixel positions
         roi_feats = roi_align_pyramid(
-            [f[0].astype(jnp.float32) for f in fpn_feats[:4]],
+            [f[0].astype(c.compute_dtype) for f in fpn_feats[:4]],
             proposals, lvl, 7, c.strides,
         )
 

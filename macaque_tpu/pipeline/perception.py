@@ -80,30 +80,37 @@ class FlaxPerception:
             # sequential over frames: RPN NMS holds an O(N^2) IoU matrix
             return jax.lax.map(one, rgb)
 
+        pose_hw = tuple(pose_model.cfg.img_size)      # (H, W)
+        pose_aspect = pose_hw[1] / pose_hw[0]
+
         @jax.jit
         def _pose(frames, boxes, valid):  # boxes (B, D, 4)
             rgb = frames[..., ::-1].astype(jnp.float32)
             B = frames.shape[0]
             flat_boxes = boxes.reshape(B * D, 4)
-            centers, scales = bbox_to_center_scale(flat_boxes)
+            centers, scales = bbox_to_center_scale(flat_boxes,
+                                                   aspect=pose_aspect)
             frame_idx = jnp.repeat(jnp.arange(B), D)
 
             def crop_one(fi, c, s):
-                return udp_crop(rgb[fi], c[None], s[None])[0]
+                return udp_crop(rgb[fi], c[None], s[None],
+                                out_hw=pose_hw)[0]
 
             crops = jax.vmap(crop_one)(frame_idx, centers, scales)
             crops = normalize_rgb(crops)
 
-            def apply_fn(v, x):
-                return pose_model.apply(v, x, train=False)
-
-            hm = apply_fn(pose_vars, crops)
             if flip:
-                hm_f = apply_fn(pose_vars, crops[:, :, ::-1, :])
-                hm = 0.5 * (hm + flip_heatmaps(hm_f))
-            kp, scores = udp_decode(hm)
+                # flip test as one doubled batch (single apply)
+                both = jnp.concatenate([crops, crops[:, :, ::-1, :]])
+                hm2 = pose_model.apply(pose_vars, both, train=False)
+                m = crops.shape[0]
+                hm = 0.5 * (hm2[:m] + flip_heatmaps(hm2[m:]))
+            else:
+                hm = pose_model.apply(pose_vars, crops, train=False)
+            kp, scores = udp_decode(hm, input_size=(pose_hw[1], pose_hw[0]))
             kp_img = crop_coords_to_image(
-                kp.reshape(B * D, -1, 2), centers, scales
+                kp.reshape(B * D, -1, 2), centers, scales,
+                out_hw=pose_hw,
             )
             out = jnp.concatenate([kp_img, scores[..., None]], axis=-1)
             out = out.reshape(B, D, -1, 3)

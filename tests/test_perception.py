@@ -1,0 +1,67 @@
+"""FlaxPerception integration: tiny real models through the full
+detect/pose/classify chunk programs."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from macaque_tpu.nn import (
+    ViTPose, VitPoseConfig, SwinMaskRCNN, DetectorConfig,
+    ResNetClassifier, ResNetConfig,
+)
+from macaque_tpu.nn.swin import SwinConfig
+from macaque_tpu.pipeline.perception import FlaxPerception
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class TinyResNetConfig(ResNetConfig):
+    @property
+    def stage_blocks(self):
+        return (1, 1)
+
+
+@pytest.fixture(scope="module")
+def perception():
+    det_cfg = DetectorConfig(
+        swin=SwinConfig(embed_dim=16, depths=(1, 1, 1, 1),
+                        num_heads=(1, 2, 4, 8)),
+        rpn_nms_pre=64, rpn_max=64, rcnn_max=8,
+    )
+    det = SwinMaskRCNN(det_cfg)
+    pose_cfg = VitPoseConfig(img_size=(64, 48), embed_dim=32, depth=1,
+                             num_heads=2, deconv_channels=(8, 8))
+    pose = ViTPose(pose_cfg)
+    idm = ResNetClassifier(TinyResNetConfig())
+
+    rng = jax.random.PRNGKey(0)
+    det_vars = det.init(rng, jnp.zeros((1, 128, 96, 3)))
+    pose_vars = pose.init(rng, jnp.zeros((1, 64, 48, 3)))
+    id_vars = idm.init(rng, jnp.zeros((1, 224, 224, 3)))
+    return FlaxPerception(det, det_vars, pose, pose_vars, idm, id_vars,
+                          max_det=4)
+
+
+def test_perception_chunk_shapes(perception):
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (3, 130, 100, 3), dtype=np.uint8)
+    boxes, scores = perception.detect(frames)
+    assert boxes.shape == (3, 4, 4)
+    assert scores.shape == (3, 4)
+
+    tb = np.tile(np.array([10.0, 10, 60, 90]), (3, 4, 1))
+    valid = np.ones((3, 4), bool)
+    valid[1, 2:] = False
+    kps = perception.pose(frames, tb, valid)
+    assert kps.shape == (3, 4, 17, 3)
+    assert np.isnan(kps[1, 3]).all()      # invalid slots are NaN
+    assert np.isfinite(kps[0, 0]).all()
+    # keypoints land within/near the expanded box
+    assert (kps[0, 0, :, 0] > -40).all() and (kps[0, 0, :, 0] < 130).all()
+
+    labels, lsc = perception.classify(frames, tb, valid)
+    assert labels.shape == (3, 4)
+    assert (labels[1, 2:] == -1).all()
+    assert (lsc >= 0).all() and (lsc <= 1).all()
