@@ -75,6 +75,7 @@ def process_camera(
     cfg: Step1Config = Step1Config(),
     chunk: int = 32,
     redo: bool = False,
+    use_device_tracker: bool = False,
 ) -> None:
     if stage_done(os.path.join(out_dir, "alldata.json"),
                   os.path.join(out_dir, "frame_num.npy")) and not redo:
@@ -100,6 +101,12 @@ def process_camera(
     missed_detections = 0  # runtime guardrails (reference step1:230-249)
     missed_tracks = 0
 
+    dev_table = None
+    if use_device_tracker:
+        from macaque_tpu.tracking.device_tracker import make_table
+
+        dev_table = make_table(cfg.tracker.max_tracks)
+
     for c0 in range(0, len(uniq_rows), chunk):
         rows_c = uniq_rows[c0 : c0 + chunk]
         frames = np.stack([store.get_image(frame_index=int(r))[0]
@@ -107,35 +114,75 @@ def process_camera(
 
         boxes_all, scores_all = perception.detect(frames)  # (B, D, 4/…)
 
-        # host: threshold + track per frame, build fixed box tables
+        # threshold + track per frame, build fixed box tables
         pose_boxes = np.zeros((len(rows_c), D, 4), np.float32)
         id_boxes = np.zeros((len(rows_c), D, 4), np.float32)
         valid = np.zeros((len(rows_c), D), bool)
         tids_tbl = np.full((len(rows_c), D), -1, int)
-        for bi in range(len(rows_c)):
-            keep = scores_all[bi] > cfg.score_thr
-            det_boxes = boxes_all[bi][keep]
-            det_scores = scores_all[bi][keep]
-            if det_boxes.shape[0] == 0:
-                missed_detections += 1
-            tb, tids = tracker.update(det_boxes, det_scores)
-            if det_boxes.shape[0] > 0 and len(tids) == 0:
-                missed_tracks += 1
-            ok = []
-            for (x1, y1, x2, y2), tid in zip(tb, tids):
-                xi1, yi1, xi2, yi2 = map(int, (x1, y1, x2, y2))
-                if xi2 > xi1 and yi2 > yi1:
-                    ok.append(((xi1, yi1, xi2, yi2), tid))
-            ok = ok[:D]
-            if not ok:
-                continue
-            ib = np.asarray([b for b, _ in ok], np.float32)
-            eb = expand_boxes(np.asarray([b for b, _ in ok]), cfg)
-            n = len(ok)
-            id_boxes[bi, :n] = ib
-            pose_boxes[bi, :n] = eb
-            valid[bi, :n] = True
-            tids_tbl[bi, :n] = [t for _, t in ok]
+
+        if use_device_tracker:
+            # fully on-device association for the chunk
+            import jax.numpy as jnp
+            from macaque_tpu.tracking.device_tracker import (
+                track_chunk_device,
+            )
+
+            sc = np.where(scores_all > cfg.score_thr, scores_all, 0.0)
+            dev_table, tboxes, ttids = track_chunk_device(
+                dev_table, jnp.asarray(boxes_all), jnp.asarray(sc),
+                high_thresh=cfg.tracker.track_high_thresh,
+                low_thresh=cfg.tracker.track_low_thresh,
+                new_thresh=cfg.tracker.new_track_thresh,
+                match_thresh=cfg.tracker.match_thresh,
+                track_buffer=cfg.tracker.track_buffer,
+            )
+            tboxes = np.asarray(tboxes)
+            ttids = np.asarray(ttids)
+            for bi in range(len(rows_c)):
+                act = np.where(ttids[bi] >= 0)[0]
+                if (sc[bi] > 0).sum() == 0:
+                    missed_detections += 1
+                elif act.size == 0:
+                    missed_tracks += 1
+                ok = []
+                for slot in act:
+                    x1, y1, x2, y2 = map(int, tboxes[bi, slot])
+                    if x2 > x1 and y2 > y1:
+                        ok.append(((x1, y1, x2, y2), int(ttids[bi, slot])))
+                ok = ok[:D]
+                if not ok:
+                    continue
+                n = len(ok)
+                id_boxes[bi, :n] = np.asarray([b for b, _ in ok], np.float32)
+                pose_boxes[bi, :n] = expand_boxes(
+                    np.asarray([b for b, _ in ok]), cfg)
+                valid[bi, :n] = True
+                tids_tbl[bi, :n] = [t for _, t in ok]
+        else:
+            for bi in range(len(rows_c)):
+                keep = scores_all[bi] > cfg.score_thr
+                det_boxes = boxes_all[bi][keep]
+                det_scores = scores_all[bi][keep]
+                if det_boxes.shape[0] == 0:
+                    missed_detections += 1
+                tb, tids = tracker.update(det_boxes, det_scores)
+                if det_boxes.shape[0] > 0 and len(tids) == 0:
+                    missed_tracks += 1
+                ok = []
+                for (x1, y1, x2, y2), tid in zip(tb, tids):
+                    xi1, yi1, xi2, yi2 = map(int, (x1, y1, x2, y2))
+                    if xi2 > xi1 and yi2 > yi1:
+                        ok.append(((xi1, yi1, xi2, yi2), tid))
+                ok = ok[:D]
+                if not ok:
+                    continue
+                ib = np.asarray([b for b, _ in ok], np.float32)
+                eb = expand_boxes(np.asarray([b for b, _ in ok]), cfg)
+                n = len(ok)
+                id_boxes[bi, :n] = ib
+                pose_boxes[bi, :n] = eb
+                valid[bi, :n] = True
+                tids_tbl[bi, :n] = [t for _, t in ok]
 
         kps = perception.pose(frames, pose_boxes, valid)        # (B, D, J, 3)
         labels, lscores = perception.classify(frames, id_boxes, valid)
@@ -191,6 +238,7 @@ def run_step1(
     cfg: Step1Config = Step1Config(),
     chunk: int = 32,
     redo: bool = False,
+    use_device_tracker: bool = False,
 ) -> list[str]:
     """All cameras for a recording (reference step1_proc2d_custom:389-447).
     Per-camera state (tracker, EMA) is fresh per camera."""
@@ -212,7 +260,8 @@ def run_step1(
         # the reference's per-camera ID-model variants (step1:424-430)
         backend = perception(cam) if callable(perception) else perception
         out_dir = os.path.join(results_root, data_name, cam)
-        process_camera(store, out_dir, T, backend, cfg, chunk, redo)
+        process_camera(store, out_dir, T, backend, cfg, chunk, redo,
+                       use_device_tracker=use_device_tracker)
         out_dirs.append(out_dir)
     return out_dirs
 
