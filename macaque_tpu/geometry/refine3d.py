@@ -147,6 +147,10 @@ def _lm_solve(
     fixed_lengths,
     scores,
 ):
+    """Jitted wrapper binding the refinement residuals to the shared
+    matrix-free LM-CG engine (geometry/lm.py)."""
+    from macaque_tpu.geometry.lm import lm_solve, LMConfig
+
     F_J3 = n_p3d
 
     def resid_fn(x):
@@ -157,62 +161,11 @@ def _lm_solve(
             scale_smooth_full, cfg, scores,
         )
 
-    def cost(x):
-        r = resid_fn(x)
-        return 0.5 * jnp.vdot(r, r)
-
-    def jtj_vec(x, v, lam, diag):
-        _, jv = jax.jvp(resid_fn, (x,), (v,))
-        _, vjp = jax.vjp(resid_fn, x)
-        (jtjv,) = vjp(jv)
-        return jtjv + lam * diag * v
-
-    def cg(x, g, lam, diag):
-        def body(i, state):
-            p, r, z, d = state
-            Ad = jtj_vec(x, d, lam, diag)
-            alpha = jnp.vdot(r, z) / jnp.maximum(jnp.vdot(d, Ad), 1e-30)
-            p2 = p + alpha * d
-            r2 = r - alpha * Ad
-            z2 = r2
-            beta = jnp.vdot(r2, z2) / jnp.maximum(jnp.vdot(r, z), 1e-30)
-            d2 = z2 + beta * d
-            return (p2, r2, z2, d2)
-
-        p0 = jnp.zeros_like(g)
-        r0 = -g
-        state = (p0, r0, r0, r0)
-        p, _, _, _ = jax.lax.fori_loop(0, cfg.cg_iters, body, state)
-        return p
-
-    def lm_step(state):
-        x, lam, f_prev, it, done = state
-        r = resid_fn(x)
-        f = 0.5 * jnp.vdot(r, r)
-        _, vjp = jax.vjp(resid_fn, x)
-        (g,) = vjp(r)
-        # Scale-invariant damping diag (Marquardt): approximate with ones —
-        # the problem is pre-scaled by the reference's residual weights.
-        diag = jnp.ones_like(x)
-        step = cg(x, g, lam, diag)
-        x_new = x + step
-        f_new = 0.5 * (lambda rr: jnp.vdot(rr, rr))(resid_fn(x_new))
-        improved = f_new < f
-        x = jnp.where(improved, x_new, x)
-        lam = jnp.where(improved, lam * 0.5, lam * 4.0)
-        lam = jnp.clip(lam, 1e-10, 1e10)
-        rel = jnp.abs(f - f_new) / jnp.maximum(f, 1e-30)
-        done = improved & (rel < cfg.ftol)
-        return (x, lam, jnp.where(improved, f_new, f), it + 1, done)
-
-    def cond(state):
-        _, _, _, it, done = state
-        return (it < cfg.lm_iters) & (~done)
-
-    state = (x0, jnp.asarray(1e-3, x0.dtype), jnp.asarray(jnp.inf, x0.dtype),
-             jnp.asarray(0), jnp.asarray(False))
-    x, _, _, _, _ = jax.lax.while_loop(cond, lm_step, state)
-    return x
+    return lm_solve(
+        resid_fn, x0,
+        LMConfig(lm_iters=cfg.lm_iters, cg_iters=cfg.cg_iters,
+                 ftol=cfg.ftol),
+    )
 
 
 def refine_points_3d(

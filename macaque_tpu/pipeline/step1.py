@@ -85,7 +85,7 @@ def process_camera(
     md = store.get_frame_metadata()
     t_cam, fnums = md["frame_time"], md["frame_number"]
     rows = align_time_grid(t_cam, T)            # grid tick -> frame row
-    uniq_rows, inverse = np.unique(rows, return_inverse=True)
+    uniq_rows = np.unique(rows)
 
     tracker = BotSortTracker(TrackerParams(
         track_high_thresh=cfg.tracker.track_high_thresh,
