@@ -34,6 +34,17 @@ def log(*a):
 
 def main():
     import jax
+
+    # persistent compilation cache: compiles through the remote tunnel
+    # take 1-6 min per stage; warmed cache makes reruns start instantly
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_CACHE_DIR",
+                                         "/tmp/macaque_tpu_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception as e:  # older jax versions
+        log(f"compilation cache unavailable: {e}")
+
     import jax.numpy as jnp
     import numpy as np
 
