@@ -155,7 +155,7 @@ class SwinMaskRCNN(nn.Module):
         ps = jnp.concatenate(all_scores)
         pi = jnp.concatenate(all_ids)
         keep, keep_valid = batched_nms_fixed(
-            pb, jnp.where(ps > 0, ps, ps), pi, c.rpn_iou_thr, c.rpn_max
+            pb, ps, pi, c.rpn_iou_thr, c.rpn_max
         )
         proposals = pb[keep]
         prop_valid = keep_valid

@@ -114,7 +114,9 @@ def nms_fixed(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thr: float,
     descending score order.
     """
     N = boxes.shape[0]
-    order = jnp.argsort(-scores)
+    # full descending order is required by greedy NMS; unstable sort is
+    # cheaper on TPU and score ties are measure-zero for real detections
+    order = jnp.argsort(-scores, stable=False)
     b = boxes[order]
     s = scores[order]
     iou = bbox_iou(b, b)
@@ -137,8 +139,10 @@ def nms_fixed(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thr: float,
         cond, body, (alive0, jnp.zeros_like(alive0), jnp.int32(0))
     )
     alive_scores = jnp.where(alive, s, -jnp.inf)
-    top = jnp.argsort(-alive_scores)[:max_out]
-    keep_valid = alive_scores[top] > -jnp.inf
+    # survivors in rank order: alive_scores is already descending where
+    # alive, so top_k (O(N log k)) replaces a second full argsort
+    top_scores, top = jax.lax.top_k(alive_scores, max_out)
+    keep_valid = top_scores > -jnp.inf
     keep_idx = order[top]
     return keep_idx, keep_valid
 

@@ -74,7 +74,9 @@ class FlaxPerception:
                 boxes, scores, valid = det_model.apply(det_vars, padded)
                 boxes = boxes / scale
                 k = min(D, boxes.shape[0])
-                top = jnp.argsort(-jnp.where(valid, scores, -jnp.inf))[:k]
+                _, top = jax.lax.top_k(
+                    jnp.where(valid, scores, -jnp.inf), k
+                )
                 return boxes[top], jnp.where(valid[top], scores[top], 0.0)
 
             # sequential over frames: RPN NMS holds an O(N^2) IoU matrix
