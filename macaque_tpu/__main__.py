@@ -45,6 +45,11 @@ def main(argv=None):
     sp.add_argument("kp3d_pickle")
     sp.add_argument("--out", default="angles.npz")
 
+    sp = sub.add_parser("convert-weights")
+    sp.add_argument("--weights", default="./model",
+                    help="dir with detection/pose/id .pth checkpoints")
+    sp.add_argument("--cache", default="./model/cache")
+
     args = p.parse_args(argv)
 
     from macaque_tpu.cameras.rig import CameraRig
@@ -112,6 +117,25 @@ def main(argv=None):
         kp3d = np.asarray(read_pickle(args.kp3d_pickle)["kp3d"])
         np.savez(args.out, **compute_angles(kp3d))
         print(f"wrote {args.out}")
+    elif args.cmd == "convert-weights":
+        from macaque_tpu.nn.checkpoint import convert_and_cache
+        from macaque_tpu.nn.convert import (
+            convert_swin_maskrcnn, convert_vitpose, convert_resnet,
+        )
+
+        jobs = [
+            ("detection/detection.pth", convert_swin_maskrcnn),
+            ("pose/pose.pth", convert_vitpose),
+            ("id/id_finetuned.pth", convert_resnet),
+            ("id/id_mff1y.pth", convert_resnet),
+        ]
+        for rel, conv in jobs:
+            p = os.path.join(args.weights, rel)
+            if os.path.exists(p):
+                convert_and_cache(p, conv, args.cache)
+                print(f"converted {rel}")
+            else:
+                print(f"missing {rel} (skipped)")
 
 
 if __name__ == "__main__":
