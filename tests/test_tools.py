@@ -89,3 +89,22 @@ class TestCameraGroupCompat:
             pass
         assert "x" in t.summary()
         t.dump(str(tmp_path / "t.json"))
+
+
+class TestConfigToml:
+    def test_anipose_config_roundtrip(self, tmp_path):
+        import tomllib
+        from macaque_tpu.core.config import PipelineConfig
+
+        cfg = PipelineConfig(data_name="x")
+        path = str(tmp_path / "config.toml")
+        cfg.to_anipose_config_toml(path)
+        with open(path, "rb") as f:
+            doc = tomllib.load(f)
+        tri = doc["triangulation"]
+        assert tri["optim"] is True and tri["ransac"] is False
+        assert tri["scale_smooth"] == 3.0
+        assert tri["n_deriv_smooth"] == 2
+        assert len(tri["constraints"]) == 20
+        assert len(tri["constraints_weak"]) == 11
+        assert doc["filter"]["type"] == "viterbi"
