@@ -12,8 +12,6 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass, field, asdict
-from typing import Optional
-
 # 17 COCO-style macaque keypoints (reference: model/pose/macaque.py:15-130,
 # step4:201-204)
 MACAQUE_BODYPARTS = [

@@ -8,8 +8,6 @@ device functions batched over an arbitrary leading axis.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -12,8 +12,7 @@ device programs compile once per chunk shape.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-from typing import Optional, Protocol, Tuple
+from typing import Protocol, Tuple
 
 import numpy as np
 

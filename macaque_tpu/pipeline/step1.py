@@ -13,8 +13,6 @@ EMA gating, output schema) follows step1:226-362.
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence
-
 import numpy as np
 
 from macaque_tpu.core.config import Step1Config

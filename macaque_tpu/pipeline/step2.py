@@ -23,8 +23,6 @@ from __future__ import annotations
 
 import itertools
 import os
-from typing import Optional
-
 import jax.numpy as jnp
 import numpy as np
 

@@ -13,10 +13,7 @@ a quirk this implementation fixes by threading the real camera count.
 from __future__ import annotations
 
 import copy
-import itertools
 import os
-from typing import Optional
-
 import numpy as np
 
 from macaque_tpu.cameras.rig import CameraRig
