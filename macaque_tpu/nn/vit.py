@@ -57,9 +57,11 @@ class Attention(nn.Module):
             return t.reshape(B, N, c.num_heads, D // c.num_heads)
 
         if c.use_pallas_attention:
-            from macaque_tpu.nn.pallas_attention import fused_attention
+            from macaque_tpu.nn.pallas_attention import (
+                fused_attention_blocked,
+            )
 
-            out = fused_attention(heads(q), heads(k), heads(v))
+            out = fused_attention_blocked(heads(q), heads(k), heads(v))
         else:
             out = jax.nn.dot_product_attention(heads(q), heads(k), heads(v))
         out = out.reshape(B, N, D)
