@@ -127,8 +127,9 @@ def main():
     del det_vars
 
     # ------------------------------------------------------------ pose
-    # head-blocked pallas attention measured 1.6x faster than XLA at
-    # ViT-huge crop shapes (0.35 vs 0.56 ms/call) — default on
+    # packed-qkv pallas attention (consumes the qkv Dense output layout
+    # directly, no HBM transposes): 128.3 vs 140.1 ms per 64-crop
+    # ViT-huge apply vs XLA — default on
     use_pallas = os.environ.get("BENCH_PALLAS_ATTN", "1") == "1"
     pose_model = ViTPose(VitPoseConfig(compute_dtype=dtype,
                                        use_pallas_attention=use_pallas))

@@ -51,20 +51,21 @@ class Attention(nn.Module):
         c = self.cfg
         B, N, D = x.shape
         qkv = nn.Dense(3 * D, use_bias=True, dtype=c.compute_dtype, name="qkv")(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-
-        def heads(t):
-            return t.reshape(B, N, c.num_heads, D // c.num_heads)
 
         if c.use_pallas_attention:
-            from macaque_tpu.nn.pallas_attention import (
-                fused_attention_blocked,
-            )
+            # packed-qkv kernel: consumes the Dense output layout directly
+            from macaque_tpu.nn.pallas_attention import fused_attention_packed
 
-            out = fused_attention_blocked(heads(q), heads(k), heads(v))
+            out = fused_attention_packed(qkv, heads=c.num_heads)
         else:
-            out = jax.nn.dot_product_attention(heads(q), heads(k), heads(v))
-        out = out.reshape(B, N, D)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+
+            def heads(t):
+                return t.reshape(B, N, c.num_heads, D // c.num_heads)
+
+            out = jax.nn.dot_product_attention(
+                heads(q), heads(k), heads(v)
+            ).reshape(B, N, D)
         return nn.Dense(D, dtype=c.compute_dtype, name="proj")(out)
 
 

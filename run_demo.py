@@ -53,9 +53,17 @@ def build_flax_perception(weights_dir: str):
     )
     from macaque_tpu.pipeline.perception import FlaxPerception
 
-    det = SwinMaskRCNN(DetectorConfig())
-    pose = ViTPose(VitPoseConfig())
-    idm = ResNetClassifier(ResNetConfig())
+    from macaque_tpu.nn.swin import SwinConfig
+
+    dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    det = SwinMaskRCNN(DetectorConfig(
+        swin=SwinConfig(compute_dtype=dtype), compute_dtype=dtype))
+    pose = ViTPose(VitPoseConfig(
+        compute_dtype=dtype,
+        # packed-qkv pallas attention: 8% faster ViT-huge applies on TPU
+        use_pallas_attention=(jax.default_backend() == "tpu"),
+    ))
+    idm = ResNetClassifier(ResNetConfig(compute_dtype=dtype))
 
     det_vars = jax.tree.map(jnp.asarray, convert_swin_maskrcnn(
         load_torch_checkpoint(os.path.join(weights_dir, "detection/detection.pth"))
