@@ -106,8 +106,11 @@ def main():
     results = {}
 
     # ------------------------------------------------------- detection
+    swin_pallas = os.environ.get("BENCH_SWIN_PALLAS", "0") == "1"
     det_model = SwinMaskRCNN(DetectorConfig(
-        swin=SwinConfig(compute_dtype=dtype), compute_dtype=dtype,
+        swin=SwinConfig(compute_dtype=dtype,
+                        use_pallas_attention=swin_pallas),
+        compute_dtype=dtype,
         rpn_nms_pre=int(os.environ.get("BENCH_NMS_PRE", 1000)),
     ))
     det_vars = make_vars(det_model, jnp.zeros((1, H, W, 3)))

@@ -153,6 +153,65 @@ def fused_attention_packed(qkv, heads: int, interpret: bool = False):
     return out
 
 
+def _window_attn_kernel(qkv_ref, bias_ref, mask_ref, o_ref, *, heads: int,
+                        head_dim: int, scale: float, with_mask: bool):
+    C = heads * head_dim
+    for h in range(heads):
+        lo = h * head_dim
+        q = qkv_ref[0, :, lo : lo + head_dim].astype(jnp.float32)
+        k = qkv_ref[0, :, C + lo : C + lo + head_dim].astype(jnp.float32)
+        v = qkv_ref[0, :, 2 * C + lo : 2 * C + lo + head_dim].astype(
+            jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        s = s + bias_ref[h]
+        if with_mask:
+            s = s + mask_ref[0]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o_ref[0, :, lo : lo + head_dim] = jnp.dot(
+            p, v, preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("heads", "interpret"))
+def fused_window_attention(qkv, bias, mask, heads: int,
+                           interpret: bool = False):
+    """Swin window attention on packed qkv (nW, T, 3C) with relative
+    position bias (heads, T, T) and optional per-window shift mask
+    (nW, T, T) (pass None when unshifted). One grid step per window."""
+    nW, T, C3 = qkv.shape
+    C = C3 // 3
+    D = C // heads
+    scale = D ** -0.5
+    with_mask = mask is not None
+    if not with_mask:
+        mask = jnp.zeros((1, 1, 1), qkv.dtype)
+
+    mem = pl.ANY if interpret else pltpu.VMEM
+    in_specs = [
+        pl.BlockSpec((1, T, C3), lambda i: (i, 0, 0), memory_space=mem),
+        pl.BlockSpec((heads, T, T), lambda i: (0, 0, 0), memory_space=mem),
+        (pl.BlockSpec((1, T, T), lambda i: (i, 0, 0), memory_space=mem)
+         if with_mask else
+         pl.BlockSpec((1, 1, 1), lambda i: (0, 0, 0), memory_space=mem)),
+    ]
+    out = pl.pallas_call(
+        partial(_window_attn_kernel, heads=heads, head_dim=D, scale=scale,
+                with_mask=with_mask),
+        out_shape=jax.ShapeDtypeStruct((nW, T, C), qkv.dtype),
+        grid=(nW,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, T, C), lambda i: (i, 0, 0),
+                               memory_space=mem),
+        interpret=interpret,
+    )(qkv, bias, mask)
+    return out
+
+
 def attention(q, k, v):
     """Backend-dispatching attention: blocked Pallas kernel on TPU, XLA
     reference elsewhere.

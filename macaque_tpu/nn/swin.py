@@ -32,6 +32,7 @@ class SwinConfig:
     patch_size: int = 4
     ln_eps: float = 1e-5
     compute_dtype: Any = jnp.float32
+    use_pallas_attention: bool = False  # packed-qkv fused window attention
 
     @property
     def out_channels(self) -> Tuple[int, ...]:
@@ -60,11 +61,6 @@ class WindowAttention(nn.Module):
         B_, N, C = x.shape
         head_dim = C // self.heads
         qkv = nn.Dense(3 * C, use_bias=True, dtype=c.compute_dtype, name="qkv")(x)
-        qkv = qkv.reshape(B_, N, 3, self.heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-
-        scale = head_dim ** -0.5
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
 
         table = self.param(
             "rel_bias",
@@ -73,7 +69,27 @@ class WindowAttention(nn.Module):
         )
         idx = _rel_pos_index(c.window)
         bias = table[idx.reshape(-1)].reshape(N, N, self.heads)
-        attn = attn + jnp.transpose(bias, (2, 0, 1))[None]
+        bias_hnm = jnp.transpose(bias, (2, 0, 1))
+
+        if c.use_pallas_attention:
+            from macaque_tpu.nn.pallas_attention import fused_window_attention
+
+            mask = None
+            if attn_mask is not None:
+                nW = attn_mask.shape[0]
+                mask = jnp.tile(attn_mask, (B_ // nW, 1, 1)).astype(
+                    jnp.float32)
+            out = fused_window_attention(
+                qkv, bias_hnm.astype(jnp.float32), mask, heads=self.heads
+            )
+            return nn.Dense(C, dtype=c.compute_dtype, name="proj")(out)
+
+        qkv = qkv.reshape(B_, N, 3, self.heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+
+        scale = head_dim ** -0.5
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
+        attn = attn + bias_hnm[None]
 
         if attn_mask is not None:
             nW = attn_mask.shape[0]

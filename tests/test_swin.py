@@ -200,3 +200,33 @@ def test_swin_backbone_matches_torch():
         np.testing.assert_allclose(
             np.asarray(got), w.numpy(), atol=3e-5
         )
+
+
+def test_swin_pallas_window_attention_matches_xla():
+    """Swin forward with the packed fused window-attention kernel
+    (interpreter mode) must match the XLA einsum path, incl. shifted
+    blocks with masks."""
+    import numpy as np
+    from functools import partial as _partial
+    from macaque_tpu.nn.swin import SwinBackbone, SwinConfig
+    from macaque_tpu.nn import pallas_attention as pa
+
+    cfg_x = SwinConfig(embed_dim=16, depths=(2, 2), num_heads=(2, 4),
+                       window=4)
+    cfg_p = SwinConfig(embed_dim=16, depths=(2, 2), num_heads=(2, 4),
+                       window=4, use_pallas_attention=True)
+    mx = SwinBackbone(cfg_x)
+    mp = SwinBackbone(cfg_p)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(1, 32, 24, 3)).astype(np.float32))
+    variables = mx.init(jax.random.PRNGKey(0), x)
+
+    orig = pa.fused_window_attention
+    pa.fused_window_attention = _partial(orig, interpret=True)
+    try:
+        got = mp.apply(variables, x)
+    finally:
+        pa.fused_window_attention = orig
+    want = mx.apply(variables, x)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=3e-5)
