@@ -182,7 +182,12 @@ def fused_window_attention(qkv, bias, mask, heads: int,
                            interpret: bool = False):
     """Swin window attention on packed qkv (nW, T, 3C) with relative
     position bias (heads, T, T) and optional per-window shift mask
-    (nW, T, T) (pass None when unshifted). One grid step per window."""
+    (nW, T, T) (pass None when unshifted). One grid step per window.
+
+    Measured (v5e, Swin-S @ 800x608): 12.3 vs 5.1 ms/img against the XLA
+    einsum path — thousands of grid steps of tiny (49, 32) matmuls are
+    pipeline-bound. Needs multi-window blocking (G windows per step with
+    batched dots) to win; kept opt-in for that follow-up."""
     nW, T, C3 = qkv.shape
     C = C3 // 3
     D = C // heads
@@ -210,6 +215,86 @@ def fused_window_attention(qkv, bias, mask, heads: int,
         interpret=interpret,
     )(qkv, bias, mask)
     return out
+
+
+def _window_attn_kernel_g(qkv_ref, bias_ref, mask_ref, o_ref, *,
+                          heads: int, head_dim: int, scale: float,
+                          with_mask: bool):
+    C = heads * head_dim
+    for h in range(heads):
+        lo = h * head_dim
+        q = qkv_ref[:, :, lo : lo + head_dim].astype(jnp.float32)
+        k = qkv_ref[:, :, C + lo : C + lo + head_dim].astype(jnp.float32)
+        v = qkv_ref[:, :, 2 * C + lo : 2 * C + lo + head_dim].astype(
+            jnp.float32)
+        # batched over the G windows in this block
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale                       # (G, T, T)
+        s = s + bias_ref[h][None]
+        if with_mask:
+            s = s + mask_ref[:]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[:, :, lo : lo + head_dim] = o.astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("heads", "block_windows", "interpret"))
+def fused_window_attention_blocked(qkv, bias, mask, heads: int,
+                                   block_windows: int = 16,
+                                   interpret: bool = False):
+    """Multi-window variant of :func:`fused_window_attention`: each grid
+    step processes ``block_windows`` windows with batched dots, so the
+    grid shrinks ~Gx and the MXU sees batched panels.
+
+    Measured (v5e, Swin-S stage-1 shapes, 640 windows): 0.10 vs 0.155 ms
+    in isolation against the XLA einsum — but inside the full backbone it
+    still loses (8.7 vs 5.1 ms/img at 800x608): XLA fuses the surrounding
+    partition/merge reshapes with its einsums, which the kernel boundary
+    prevents. Swin therefore defaults to the XLA path; ViT uses
+    :func:`fused_attention_packed`, where the packed layout removes the
+    boundary cost and the kernel wins."""
+    nW, T, C3 = qkv.shape
+    C = C3 // 3
+    D = C // heads
+    scale = D ** -0.5
+    with_mask = mask is not None
+
+    G = block_windows
+    pad = (-nW) % G
+    if pad:
+        qkv = jnp.pad(qkv, ((0, pad), (0, 0), (0, 0)))
+        if with_mask:
+            mask = jnp.pad(mask, ((0, pad), (0, 0), (0, 0)))
+    if not with_mask:
+        mask = jnp.zeros((G, 1, 1), qkv.dtype)
+    nWp = nW + pad
+
+    mem = pl.ANY if interpret else pltpu.VMEM
+    in_specs = [
+        pl.BlockSpec((G, T, C3), lambda i: (i, 0, 0), memory_space=mem),
+        pl.BlockSpec((heads, T, T), lambda i: (0, 0, 0), memory_space=mem),
+        (pl.BlockSpec((G, T, T), lambda i: (i, 0, 0), memory_space=mem)
+         if with_mask else
+         pl.BlockSpec((G, 1, 1), lambda i: (0, 0, 0), memory_space=mem)),
+    ]
+    out = pl.pallas_call(
+        partial(_window_attn_kernel_g, heads=heads, head_dim=D,
+                scale=scale, with_mask=with_mask),
+        out_shape=jax.ShapeDtypeStruct((nWp, T, C), qkv.dtype),
+        grid=(nWp // G,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((G, T, C), lambda i: (i, 0, 0),
+                               memory_space=mem),
+        interpret=interpret,
+    )(qkv, bias, mask)
+    return out[:nW]
 
 
 def attention(q, k, v):

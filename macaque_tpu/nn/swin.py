@@ -72,14 +72,16 @@ class WindowAttention(nn.Module):
         bias_hnm = jnp.transpose(bias, (2, 0, 1))
 
         if c.use_pallas_attention:
-            from macaque_tpu.nn.pallas_attention import fused_window_attention
+            from macaque_tpu.nn.pallas_attention import (
+                fused_window_attention_blocked,
+            )
 
             mask = None
             if attn_mask is not None:
                 nW = attn_mask.shape[0]
                 mask = jnp.tile(attn_mask, (B_ // nW, 1, 1)).astype(
                     jnp.float32)
-            out = fused_window_attention(
+            out = fused_window_attention_blocked(
                 qkv, bias_hnm.astype(jnp.float32), mask, heads=self.heads
             )
             return nn.Dense(C, dtype=c.compute_dtype, name="proj")(out)

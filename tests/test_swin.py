@@ -221,12 +221,12 @@ def test_swin_pallas_window_attention_matches_xla():
     x = jnp.asarray(rng.normal(size=(1, 32, 24, 3)).astype(np.float32))
     variables = mx.init(jax.random.PRNGKey(0), x)
 
-    orig = pa.fused_window_attention
-    pa.fused_window_attention = _partial(orig, interpret=True)
+    orig = pa.fused_window_attention_blocked
+    pa.fused_window_attention_blocked = _partial(orig, interpret=True)
     try:
         got = mp.apply(variables, x)
     finally:
-        pa.fused_window_attention = orig
+        pa.fused_window_attention_blocked = orig
     want = mx.apply(variables, x)
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=3e-5)
