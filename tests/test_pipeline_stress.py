@@ -62,3 +62,30 @@ def test_stress_3animals_with_dropouts(stress_run):
         [np.nanmedian(np.linalg.norm(kp3d[a, :T3] - gt[a, :T3], axis=-1))
          for a in range(N_ANIMAL)]
     )
+
+
+def test_stress_with_device_tracker(tmp_path):
+    """The same dropout scenario through the on-device tracker path."""
+    raw = str(tmp_path / "videos")
+    results = str(tmp_path / "results")
+    rig = make_test_rig(4)
+    kp3d = simulate_scene(2, 80, seed=17)
+    proj = project_scene(rig, kp3d)
+    render_stores(raw, "synth", rig, proj)
+
+    def factory(cam_name):
+        idx = rig.camera_ids.index(cam_name)
+        return SyntheticPerception(idx, proj, noise=1.5, seed=9,
+                                   drop_prob=0.08)
+
+    run_step1("synth", results, raw, factory, use_device_tracker=True)
+    rd = os.path.join(results, "synth")
+    run_step2(rd, rig)
+    run_step3(rd, rig)
+    run_step4(rd, rig)
+    out = read_pickle(os.path.join(rd, "kp3d.pickle"))
+    kp = np.asarray(out["kp3d"])
+    T3 = min(kp.shape[1], kp3d.shape[1])
+    for a in range(2):
+        e = np.linalg.norm(kp[a, :T3] - kp3d[a, :T3], axis=-1)
+        assert np.nanmedian(e) < 60.0, np.nanmedian(e)
