@@ -114,3 +114,46 @@ def viterbi_path_np(points, scores, n_back=3, thres_dist=30.0):
         out[i - 1] = T_back[i, out[i]]
     trace = np.array([particles[i, out[i]] for i in range(n_frames)])
     return trace[:, :2], trace[:, 2]
+
+
+# ------------------------------------------------------------- UDP decode
+
+def udp_decode_np(heatmaps, input_size, blur_kernel=11):
+    """DARK-UDP decode restated in NumPy/cv2 (mmpose UDPHeatmap semantics):
+    argmax, Gaussian blur w/ max rescale, log, one Newton step on the
+    edge-padded map, scale by (input-1)/(heatmap-1)."""
+    import cv2
+
+    B, H, W, K = heatmaps.shape
+    hm = np.transpose(heatmaps, (0, 3, 1, 2)).astype(np.float64).copy()
+    kps = np.zeros((B, K, 2))
+    vals = np.zeros((B, K))
+    border = (blur_kernel - 1) // 2
+    for b in range(B):
+        for k in range(K):
+            h = hm[b, k]
+            idx = np.argmax(h)
+            y, x = divmod(int(idx), W)
+            vals[b, k] = h[y, x]
+            omax = h.max()
+            dr = np.zeros((H + 2 * border, W + 2 * border))
+            dr[border:-border, border:-border] = h
+            dr = cv2.GaussianBlur(dr, (blur_kernel, blur_kernel), 0)
+            h2 = dr[border:-border, border:-border]
+            h2 = h2 * omax / max(h2.max(), 1e-12)
+            h2 = np.log(np.clip(h2, 1e-3, 50.0))
+            p = np.pad(h2, 1, mode="edge")
+            xi, yi = x + 1, y + 1
+            dx = 0.5 * (p[yi, xi + 1] - p[yi, xi - 1])
+            dy = 0.5 * (p[yi + 1, xi] - p[yi - 1, xi])
+            dxx = p[yi, xi + 1] - 2 * p[yi, xi] + p[yi, xi - 1]
+            dyy = p[yi + 1, xi] - 2 * p[yi, xi] + p[yi - 1, xi]
+            dxy = 0.5 * (p[yi + 1, xi + 1] - p[yi, xi + 1] - p[yi + 1, xi]
+                         + 2 * p[yi, xi] - p[yi, xi - 1] - p[yi - 1, xi]
+                         + p[yi - 1, xi - 1])
+            eps = np.finfo(np.float32).eps
+            Hm = np.array([[dxx + eps, dxy], [dxy, dyy + eps]])
+            off = -np.linalg.inv(Hm) @ np.array([dx, dy])
+            kps[b, k] = [(x + off[0]) * (input_size[0] - 1) / (W - 1),
+                         (y + off[1]) * (input_size[1] - 1) / (H - 1)]
+    return kps, vals

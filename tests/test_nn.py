@@ -371,3 +371,21 @@ def test_roi_align_pyramid_matches_per_level():
             roi_align(feats[L], rois[i:i + 1], 7, 1.0 / strides[L])
         )[0]
         np.testing.assert_allclose(got[i], want, atol=1e-5)
+
+
+def test_udp_decode_matches_numpy_oracle():
+    from macaque_tpu.nn.heatmap import udp_decode
+    from tests.oracles import udp_decode_np
+
+    rng = np.random.default_rng(12)
+    H, W, K = 64, 48, 5
+    ys, xs = np.mgrid[0:H, 0:W]
+    truth = np.stack([rng.uniform(8, W - 8, K), rng.uniform(8, H - 8, K)], 1)
+    hm = np.exp(-((xs[None] - truth[:, 0, None, None]) ** 2
+                  + (ys[None] - truth[:, 1, None, None]) ** 2) / (2 * 4.0))
+    hm += rng.uniform(0, 0.05, hm.shape)  # noise floor
+    hm = hm.transpose(1, 2, 0)[None]
+    want_kp, want_v = udp_decode_np(hm, input_size=(192, 256))
+    got_kp, got_v = udp_decode(jnp.asarray(hm), input_size=(192, 256))
+    np.testing.assert_allclose(np.asarray(got_kp), want_kp, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got_v), want_v, atol=1e-6)
