@@ -45,6 +45,11 @@ def main(argv=None):
     sp.add_argument("kp3d_pickle")
     sp.add_argument("--out", default="angles.npz")
 
+    sp = sub.add_parser("plots")
+    sp.add_argument("kp3d_pickle")
+    sp.add_argument("--out", default="./plots")
+    sp.add_argument("--fps", type=float, default=24.0)
+
     sp = sub.add_parser("convert-weights")
     sp.add_argument("--weights", default="./model",
                     help="dir with detection/pose/id .pth checkpoints")
@@ -117,6 +122,11 @@ def main(argv=None):
         kp3d = np.asarray(read_pickle(args.kp3d_pickle)["kp3d"])
         np.savez(args.out, **compute_angles(kp3d))
         print(f"wrote {args.out}")
+    elif args.cmd == "plots":
+        from macaque_tpu.tools.plots import plot_all
+
+        for p in plot_all(args.kp3d_pickle, args.out, args.fps):
+            print(f"wrote {p}")
     elif args.cmd == "convert-weights":
         from macaque_tpu.nn.checkpoint import convert_and_cache
         from macaque_tpu.nn.convert import (
