@@ -35,8 +35,50 @@ def _t_deconv(w):
     return np.ascontiguousarray(np.transpose(w, (2, 3, 0, 1)))
 
 
+class _TrackedDict(dict):
+    """Records accessed keys so converters can report coverage."""
+
+    def __init__(self, base):
+        super().__init__(base)
+        self.accessed: set = set()
+
+    def __getitem__(self, key):
+        self.accessed.add(key)
+        return super().__getitem__(key)
+
+    def __contains__(self, key):
+        return super().__contains__(key)
+
+
+# checkpoint entries that are legitimately unconsumed (recomputed buffers,
+# training-only state, heads the bbox-only config disables)
+_IGNORABLE_PATTERNS = (
+    "relative_position_index", "num_batches_tracked", "attn_mask",
+    "mask_head", "ema_", "data_preprocessor",
+)
+
+
+def _report_coverage(sd, name: str):
+    if not isinstance(sd, _TrackedDict):
+        return
+    unused = [
+        k for k in sd.keys()
+        if k not in sd.accessed
+        and not any(p in k for p in _IGNORABLE_PATTERNS)
+    ]
+    if unused:
+        print(f"[convert:{name}] warning: {len(unused)} checkpoint keys "
+              f"not consumed, e.g. {unused[:5]} — check naming drift")
+
+
 def _np(sd, key):
-    v = sd[key]
+    try:
+        v = sd[key]
+    except KeyError:
+        close = [k for k in sd if key.rsplit(".", 1)[0] in k][:5]
+        raise KeyError(
+            f"checkpoint key {key!r} not found; similar keys: {close}"
+        ) from None
     try:  # torch tensor
         v = v.detach().cpu().numpy()
     except AttributeError:
@@ -74,7 +116,7 @@ def _conv(sd, prefix):
 def convert_vitpose(state_dict: Mapping, depth: int = 32):
     """mmpose TopdownPoseEstimator (ViT backbone + HeatmapHead) ->
     {'params': ..., 'batch_stats': ...} for macaque_tpu.nn.vit.ViTPose."""
-    sd = state_dict
+    sd = _TrackedDict(state_dict)
     params: dict = {"backbone": {}, "head": {}}
     stats: dict = {"head": {}}
 
@@ -109,6 +151,7 @@ def convert_vitpose(state_dict: Mapping, depth: int = 32):
         hd[f"bn{j}"] = bn_p
         hs[f"bn{j}"] = bn_s
     hd["final"] = _conv(sd, "head.final_layer")
+    _report_coverage(sd, "vitpose")
     return {"params": params, "batch_stats": stats}
 
 
@@ -117,7 +160,7 @@ def convert_vitpose(state_dict: Mapping, depth: int = 32):
 def convert_resnet(state_dict: Mapping, stage_blocks=(3, 8, 36, 3)):
     """mmpretrain ImageClassifier(ResNet) -> params/batch_stats for
     macaque_tpu.nn.resnet.ResNetClassifier."""
-    sd = state_dict
+    sd = _TrackedDict(state_dict)
     params: dict = {}
     stats: dict = {}
     params["stem_conv"] = _conv(sd, "backbone.conv1")
@@ -137,6 +180,7 @@ def convert_resnet(state_dict: Mapping, stage_blocks=(3, 8, 36, 3)):
             params[name] = layer
             stats[name] = lstat
     params["fc"] = _dense(sd, "head.fc")
+    _report_coverage(sd, "resnet")
     return {"params": params, "batch_stats": stats}
 
 
@@ -179,7 +223,7 @@ def convert_swin_backbone(state_dict: Mapping, depths=(2, 2, 18, 2)) -> dict:
 def convert_swin_maskrcnn(state_dict: Mapping, depths=(2, 2, 18, 2)):
     """mmdet Swin Mask R-CNN (bbox-only) -> params for
     macaque_tpu.nn.detector.SwinMaskRCNN."""
-    sd = state_dict
+    sd = _TrackedDict(state_dict)
     bb = convert_swin_backbone(sd, depths)
 
     neck: dict = {}
@@ -206,6 +250,7 @@ def convert_swin_maskrcnn(state_dict: Mapping, depths=(2, 2, 18, 2)):
         "cls": _dense(sd, "roi_head.bbox_head.fc_cls"),
         "reg": _dense(sd, "roi_head.bbox_head.fc_reg"),
     }
+    _report_coverage(sd, "swin_maskrcnn")
     return {
         "params": {
             "backbone": bb,
