@@ -19,11 +19,15 @@ Particle model (matching the reference):
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 from jax.scipy.stats import norm as jnorm
 
-_MISSING_LOGP = jnp.log(0.001)
+# Python float (not jnp) so importing this module never initializes a JAX
+# backend — the driver imports the package before selecting a platform.
+_MISSING_LOGP = math.log(0.001)
 
 
 def _dedup_frame(points: jnp.ndarray, thres: float) -> jnp.ndarray:
