@@ -53,6 +53,7 @@ def main():
         ResNetClassifier, ResNetConfig,
     )
     from macaque_tpu.nn.swin import SwinConfig
+    from macaque_tpu.nn.detector import detect_frames
     from macaque_tpu.nn.heatmap import udp_decode, flip_heatmaps
     from macaque_tpu.nn.preprocess import (
         normalize_rgb, udp_crop, bbox_to_center_scale, id_crops,
@@ -119,9 +120,10 @@ def main():
         def body(i, carry):
             f = frames + carry.astype(jnp.uint8)
             imgs = normalize_rgb(f.astype(jnp.float32))
-            b, s, v = jax.lax.map(
-                lambda im: det_model.apply(det_vars, im[None]), imgs
-            )
+            # sequential backbone (fills the chip per image) + batched
+            # proposal/RoI/box-head tail with top-K proposal pruning (was
+            # jax.lax.map of complete single-image applies)
+            b, s, v = detect_frames(det_model, det_vars, imgs)
             return jnp.sum(s).astype(jnp.int32) % 3 + i * 0
 
         return jax.lax.fori_loop(0, n, body, jnp.int32(0))
@@ -220,9 +222,42 @@ def main():
     results["tri"] = measure("triangulate", tri_loop, kp_fake)
 
     total = sum(results.values())
-    cf_per_s = B / total
-    log(f"total {total*1000:.0f} ms per {B} camera-frames "
-        f"({ {k: round(v*1000, 1) for k, v in results.items()} } ms)")
+    kernel_cf_s = B / total
+    log(f"kernel total {total*1000:.0f} ms per {B} camera-frames "
+        f"({ {k: round(v*1000, 1) for k, v in results.items()} } ms) "
+        f"-> {kernel_cf_s:.1f} cf/s")
+
+    # ------------------------------------------- full-pipeline wall clock
+    # The reference's ~30-min baseline covers steps 1-4 + render
+    # (info_replication.md:44-45), not just the NN forward passes. Measure
+    # the rest of the pipeline (host step1, cross-view, cross-frame,
+    # 3D refinement, render) on the synthetic scene and fold it in:
+    # e2e = n_cf / (n_cf * kernel_time_per_cf + rest_wall_clock).
+    detail = {"kernel_cf_s": round(kernel_cf_s, 2),
+              "kernel_ms_per_chunk": {k: round(v * 1000, 1)
+                                      for k, v in results.items()}}
+    cf_per_s = kernel_cf_s
+    if os.environ.get("BENCH_PIPELINE", "1") == "1":
+        import subprocess
+
+        try:
+            out = subprocess.run(
+                [sys.executable, "-m", "macaque_tpu.tools.pipeline_bench"],
+                capture_output=True, text=True, timeout=1800, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
+            )
+            pipe = json.loads(out.stdout.strip().splitlines()[-1])
+            n_cf = pipe["camera_frames"]
+            t_kernel = n_cf * total / B
+            t_e2e = t_kernel + pipe["pipeline_rest_s"]
+            cf_per_s = n_cf / t_e2e
+            detail["pipeline"] = pipe
+            log(f"pipeline rest {pipe['pipeline_rest_s']:.1f}s for {n_cf} "
+                f"camera-frames (stages {pipe['stages_s']}); combined "
+                f"e2e {cf_per_s:.1f} cf/s")
+        except Exception as e:  # noqa: BLE001 — report kernel-only number
+            log(f"pipeline bench failed ({e}); reporting kernel-only")
+            detail["pipeline_error"] = str(e)
 
     baseline = 6.4
     print(json.dumps({
@@ -230,6 +265,7 @@ def main():
         "value": round(cf_per_s, 2),
         "unit": "camera-frames/s",
         "vs_baseline": round(cf_per_s / baseline, 2),
+        "detail": detail,
     }))
 
 

@@ -90,7 +90,8 @@ def match_svt(
         muM = mu[..., None, None]
         U, s, Vh = jnp.linalg.svd(Y / muM + X, full_matrices=False)
         s_th = jnp.maximum(s - _lambda / mu[..., None], 0.0)
-        Q = jnp.einsum("...ik,...k,...kj->...ij", U, s_th, Vh)
+        Q = jnp.einsum("...ik,...k,...kj->...ij", U, s_th, Vh,
+                       precision=jax.lax.Precision.HIGHEST)
         X = Q - (W + Y) / muM
         X = jnp.where(same_block, 0.0, X)
         if pselect == 1:

@@ -72,7 +72,8 @@ def omnidir_project(cam: OmnidirCamera, points: jnp.ndarray) -> jnp.ndarray:
     points; differentiable for bundle adjustment.
     """
     R = cam.R
-    Xc = jnp.einsum("...ij,...nj->...ni", R, points) + cam.tvec[..., None, :]
+    Xc = jnp.einsum("...ij,...nj->...ni", R, points,
+                    precision=jax.lax.Precision.HIGHEST) + cam.tvec[..., None, :]
 
     norm = jnp.linalg.norm(Xc, axis=-1, keepdims=True)
     Xs = Xc / jnp.maximum(norm, 1e-12)
@@ -159,7 +160,8 @@ def omnidir_unproject_ray(
     pc = jnp.concatenate([und * d, jnp.broadcast_to(d, und[..., :1].shape)], axis=-1)
     R = cam.R
     diff = pc - cam.tvec[..., None, :]
-    return jnp.einsum("...ji,...nj->...ni", R, diff)  # R^T @ diff
+    return jnp.einsum("...ji,...nj->...ni", R, diff,
+                      precision=jax.lax.Precision.HIGHEST)  # R^T @ diff
 
 
 def unproject_ray_from_undistorted(
@@ -172,4 +174,5 @@ def unproject_ray_from_undistorted(
     pc = jnp.concatenate([und * d, jnp.broadcast_to(d, und[..., :1].shape)], axis=-1)
     R = cam.R
     diff = pc - cam.tvec[..., None, :]
-    return jnp.einsum("...ji,...nj->...ni", R, diff)
+    return jnp.einsum("...ji,...nj->...ni", R, diff,
+                      precision=jax.lax.Precision.HIGHEST)

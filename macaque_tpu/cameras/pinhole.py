@@ -48,7 +48,8 @@ def _distort(x, y, dist):
 def pinhole_project(cam: PinholeCamera, points: jnp.ndarray) -> jnp.ndarray:
     """World points ``(..., N, 3)`` -> pixels ``(..., N, 2)``
     (``cv2.projectPoints`` semantics)."""
-    Xc = jnp.einsum("...ij,...nj->...ni", cam.R, points) + cam.tvec[..., None, :]
+    Xc = jnp.einsum("...ij,...nj->...ni", cam.R, points,
+                    precision=jax.lax.Precision.HIGHEST) + cam.tvec[..., None, :]
     x = Xc[..., 0] / Xc[..., 2]
     y = Xc[..., 1] / Xc[..., 2]
     xd, yd = _distort(x, y, cam.dist[..., None, :])

@@ -7,7 +7,13 @@ src/third_party/aniposelib/cameras.py:154-171).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+# metric geometry must not run through TPU bf16 matmul passes: at mm-scale
+# coordinates the ~0.3% relative error is several mm per op (see
+# docs/numerics: TPU default matmul precision)
+_F32 = jax.lax.Precision.HIGHEST
 
 _EPS = 1e-12
 
@@ -42,7 +48,7 @@ def rodrigues(rvec: jnp.ndarray) -> jnp.ndarray:
         axis=-2,
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=rvec.dtype), K.shape)
-    return eye + a * K + b * (K @ K)
+    return eye + a * K + b * jnp.matmul(K, K, precision=_F32)
 
 
 def rodrigues_inv(R: jnp.ndarray) -> jnp.ndarray:
@@ -81,4 +87,4 @@ def rotate_points(rvec: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
     (``transform_points``), but batched/differentiable.
     """
     R = rodrigues(rvec)
-    return jnp.einsum("...ij,...nj->...ni", R, points)
+    return jnp.einsum("...ij,...nj->...ni", R, points, precision=_F32)

@@ -24,8 +24,18 @@ class LMConfig(NamedTuple):
 
 
 def lm_solve(resid_fn: Callable, x0: jnp.ndarray, cfg: LMConfig = LMConfig()):
-    """Minimize ``0.5 * |resid_fn(x)|^2`` from ``x0``. Returns x."""
+    """Minimize ``0.5 * |resid_fn(x)|^2`` from ``x0``. Returns x.
 
+    The whole solve traces under float32 matmul precision: CG directions
+    come from ``vdot``s and jvp/vjp products whose default bf16 TPU
+    lowering corrupts mm-scale solutions (observed: 40+ mm 3D error on a
+    clean synthetic scene from this alone).
+    """
+    with jax.default_matmul_precision("float32"):
+        return _lm_solve_impl(resid_fn, x0, cfg)
+
+
+def _lm_solve_impl(resid_fn: Callable, x0: jnp.ndarray, cfg: LMConfig):
     def jtj_vec(x, v, lam):
         _, jv = jax.jvp(resid_fn, (x,), (v,))
         _, vjp = jax.vjp(resid_fn, x)

@@ -221,3 +221,31 @@ def refine_points_3d(
     p3 = x[: F * J * 3].reshape(F, J, 3)
     jl = fixed if fix_lengths else x[F * J * 3:]
     return p3, jl
+
+
+def refine_points_3d_batch(
+    cam,
+    p2ds: jnp.ndarray,
+    p3ds_init: jnp.ndarray,
+    constraints=(),
+    constraints_weak=(),
+    cfg: RefineConfig = RefineConfig(),
+    joint_lengths: Optional[jnp.ndarray] = None,
+):
+    """Refine several independent trajectories in ONE device program.
+
+    Semantically identical to calling :func:`refine_points_3d` per animal
+    (the reference's per-animal loop, step4:219), but vmapped over the
+    leading axis so all solves share one compile + dispatch — the
+    sequential per-animal programs dominated the pipeline's host wall
+    clock (4 animals = 4 solver launches per recording).
+
+    p2ds: (A, C, F, J, 2); p3ds_init: (A, F, J, 3).
+    Returns (p3ds (A, F, J, 3), joint_lengths (A, Kc+Kw)).
+    """
+    def one(p2, p3):
+        return refine_points_3d(
+            cam, p2, p3, constraints, constraints_weak, cfg, joint_lengths,
+        )
+
+    return jax.vmap(one)(p2ds, p3ds_init)

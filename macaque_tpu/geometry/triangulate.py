@@ -20,7 +20,12 @@ NaN (the pipeline's missing-value convention).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+# normal equations square the conditioning — TPU bf16 matmul passes would
+# corrupt the null-space solve at mm scale; force true f32
+_F32 = jax.lax.Precision.HIGHEST
 
 
 def _dlt_rows(points: jnp.ndarray, pmats: jnp.ndarray, mask: jnp.ndarray):
@@ -52,15 +57,18 @@ def triangulate_dlt(
 ) -> jnp.ndarray:
     """Homogeneous DLT. Returns (..., 3) 3D points; NaN where <2 cams valid.
 
-    The minimizer of ``|A v|`` with ``|v| = 1`` is the eigenvector of
-    ``A^T A`` (4x4, symmetric PSD) with smallest eigenvalue — identical to
-    the last right-singular vector of ``A`` used by the reference, but
-    batches as one ``eigh`` over all points.
+    The minimizer of ``|A v|`` with ``|v| = 1`` is the last right-singular
+    vector of ``A`` — computed via batched SVD exactly like the
+    reference's ``triangulate_simple``. (An earlier eigh-of-``A^T A``
+    variant squared the conditioning: on near-degenerate two-camera
+    points the f32 eigenvector was unstable across compiled programs by
+    >1000 mm, which poisoned the LM refinement init; the SVD stays
+    within ~3 mm of an f64 oracle on the same points.)
     """
     A = _dlt_rows(points, pmats, mask)
-    AtA = jnp.einsum("...ri,...rj->...ij", A, A)
-    _, vecs = jnp.linalg.eigh(AtA)  # ascending eigenvalues
-    v = vecs[..., :, 0]
+    with jax.default_matmul_precision("float32"):  # svd iterates matmuls
+        _, _, Vh = jnp.linalg.svd(A, full_matrices=False)
+    v = Vh[..., -1, :]
     p3d = v[..., :3] / v[..., 3:4]
     ncam = jnp.sum(mask, axis=-1)
     return jnp.where((ncam >= 2)[..., None], p3d, jnp.nan)
@@ -78,11 +86,12 @@ def triangulate_dlt_pinv(
     A = _dlt_rows(points, pmats, mask)
     a = A[..., :3]
     b = A[..., 3]
-    ata = jnp.einsum("...ri,...rj->...ij", a, a)
-    atb = jnp.einsum("...ri,...r->...i", a, b)
-    X = jnp.linalg.solve(
-        ata + 1e-12 * jnp.eye(3, dtype=a.dtype), atb[..., None]
-    )[..., 0]
+    with jax.default_matmul_precision("float32"):
+        ata = jnp.einsum("...ri,...rj->...ij", a, a, precision=_F32)
+        atb = jnp.einsum("...ri,...r->...i", a, b, precision=_F32)
+        X = jnp.linalg.solve(
+            ata + 1e-12 * jnp.eye(3, dtype=a.dtype), atb[..., None]
+        )[..., 0]
     ncam = jnp.sum(mask, axis=-1)
     return jnp.where((ncam >= 2)[..., None], -X, jnp.nan)
 

@@ -44,6 +44,13 @@ class DetectorConfig:
     rcnn_score_thr: float = 0.05
     rcnn_iou_thr: float = 0.5
     rcnn_max: int = 100
+    # proposals entering the RoI head: top-K by RPN score. mmdet feeds all
+    # rpn_max=1000 (test_cfg :175-185), but after IoU-0.7 NMS most slots
+    # are invalid padding and the rest rank far below the pipeline's 0.85
+    # detection threshold — RoI gathers are the detector's bandwidth sink
+    # on TPU, so K=256 keeps result parity while cutting 4x the gather
+    # bytes. Set to rpn_max for exact mmdet-shape parity runs.
+    rcnn_roi_topk: int = 256
     strides: Tuple[int, ...] = (4, 8, 16, 32, 64)
     finest_scale: float = 56.0
     compute_dtype: Any = jnp.float32
@@ -126,65 +133,140 @@ class SwinMaskRCNN(nn.Module):
         """image: (1, H, W, 3) normalized, padded to /32.
         img_shape: (h, w) valid region for clipping (defaults to padded).
         Returns (boxes (rcnn_max, 4), scores (rcnn_max,), valid mask)."""
-        c = self.cfg
-        H, W = image.shape[1], image.shape[2]
-        if img_shape is None:
-            img_shape = (H, W)
+        boxes, scores, valid = self.detect_batch(image, img_shape)
+        return boxes[0], scores[0], valid[0]
 
-        fpn_feats = self.features(image)
-        rpn_outs = self.rpn(fpn_feats)
+    def detect_batch(self, images, img_shape=None):
+        """Batched inference: (B, H, W, 3) normalized padded inputs ->
+        (boxes (B, rcnn_max, 4), scores (B, rcnn_max), valid (B, rcnn_max)).
+
+        The whole chunk runs through one program; the RoI head matmuls are
+        batched across all frames and only the per-image fixed-shape tails
+        (top-k, NMS, RoI gather) vmap. The reference runs one image per
+        inference_detector call (step1:226). For the production path see
+        :func:`detect_frames`, which runs the backbone via ``lax.map``
+        (measured faster per image than a batched backbone on v5e) and
+        this head batched.
+        """
+        fpn_feats, rpn_outs = self.trunk(images)
+        return self.head(fpn_feats, rpn_outs, img_shape)
+
+    def trunk(self, images):
+        """Backbone + FPN + RPN conv heads on (B, H, W, 3) inputs."""
+        fpn_feats = self.features(images)          # list of (B, h, w, C)
+        rpn_outs = self.rpn(fpn_feats)             # list of ((B,..,3), (B,..,12))
+        return fpn_feats, rpn_outs
+
+    def head(self, fpn_feats, rpn_outs, img_shape=None):
+        """Proposal + RoI + box head on precomputed trunk outputs."""
+        c = self.cfg
+        B = fpn_feats[0].shape[0]
+        if img_shape is None:
+            img_shape = (fpn_feats[0].shape[1] * c.strides[0],
+                         fpn_feats[0].shape[2] * c.strides[0])
 
         feat_sizes = [(f.shape[1], f.shape[2]) for f in fpn_feats]
         anchors = make_anchors(feat_sizes, c.strides)
 
         # --- RPN proposals (per-level top-k, then level-aware NMS) ---
-        all_boxes, all_scores, all_ids = [], [], []
-        for lvl, ((cls, reg), anc) in enumerate(zip(rpn_outs, anchors)):
-            score = jax.nn.sigmoid(cls.reshape(-1))
-            delta = reg.reshape(-1, 4)
-            k = min(c.rpn_nms_pre, score.shape[0])
-            top_s, top_i = jax.lax.top_k(score, k)
-            boxes = delta2bbox(
-                jnp.asarray(anc)[top_i], delta[top_i],
-                stds=(1.0, 1.0, 1.0, 1.0), max_shape=img_shape,
+        def proposals_one(rpn_img):
+            all_boxes, all_scores, all_ids = [], [], []
+            for lvl, ((cls, reg), anc) in enumerate(zip(rpn_img, anchors)):
+                score = jax.nn.sigmoid(cls.reshape(-1))
+                delta = reg.reshape(-1, 4)
+                k = min(c.rpn_nms_pre, score.shape[0])
+                top_s, top_i = jax.lax.top_k(score, k)
+                boxes = delta2bbox(
+                    jnp.asarray(anc)[top_i], delta[top_i],
+                    stds=(1.0, 1.0, 1.0, 1.0), max_shape=img_shape,
+                )
+                all_boxes.append(boxes)
+                all_scores.append(top_s)
+                all_ids.append(jnp.full((k,), lvl, jnp.int32))
+            pb = jnp.concatenate(all_boxes)
+            ps = jnp.concatenate(all_scores)
+            pi = jnp.concatenate(all_ids)
+            keep, keep_valid = batched_nms_fixed(
+                pb, ps, pi, c.rpn_iou_thr, c.rpn_max
             )
-            all_boxes.append(boxes)
-            all_scores.append(top_s)
-            all_ids.append(jnp.full((k,), lvl, jnp.int32))
-        pb = jnp.concatenate(all_boxes)
-        ps = jnp.concatenate(all_scores)
-        pi = jnp.concatenate(all_ids)
-        keep, keep_valid = batched_nms_fixed(
-            pb, ps, pi, c.rpn_iou_thr, c.rpn_max
-        )
-        proposals = pb[keep]
-        prop_valid = keep_valid
+            return pb[keep], keep_valid
+
+        proposals, prop_valid = jax.vmap(proposals_one)(rpn_outs)
+
+        # prune to the top-K proposals by RPN rank before the RoI head
+        # (rcnn_roi_topk docstring above). batched_nms_fixed returns
+        # survivors in descending score order, so a static slice is the
+        # top-K — no second sort needed.
+        K = min(c.rcnn_roi_topk, proposals.shape[1])
+        proposals = proposals[:, :K]
+        prop_valid = prop_valid[:, :K]
 
         # --- RoI feature extraction (FPN level by box scale) ---
-        w = jnp.maximum(proposals[:, 2] - proposals[:, 0], 0)
-        h = jnp.maximum(proposals[:, 3] - proposals[:, 1], 0)
+        w = jnp.maximum(proposals[..., 2] - proposals[..., 0], 0)
+        h = jnp.maximum(proposals[..., 3] - proposals[..., 1], 0)
         scale = jnp.sqrt(w * h)
         lvl = jnp.floor(jnp.log2(scale / c.finest_scale + 1e-6))
         lvl = jnp.clip(lvl, 0, 3).astype(jnp.int32)
 
         # RoI gathers in the compute dtype (halves HBM traffic in bf16);
-        # box coords stay f32 — bf16 cannot resolve sub-pixel positions
+        # box coords stay f32 — bf16 cannot resolve sub-pixel positions.
+        # Natively batched (flat one-table gather): a vmapped gather adds a
+        # batching dim XLA lowers ~3x slower on TPU.
         roi_feats = roi_align_pyramid(
-            [f[0].astype(c.compute_dtype) for f in fpn_feats[:4]],
+            [f.astype(c.compute_dtype) for f in fpn_feats[:4]],
             proposals, lvl, 7, c.strides,
-        )
+        )                                          # (B, R, 7, 7, C)
 
-        cls_logits, reg = self.bbox_head(roi_feats.astype(c.compute_dtype))
-        probs = jax.nn.softmax(cls_logits, axis=-1)
-        fg_score = probs[:, 0]  # single foreground class
+        R = proposals.shape[1]
+        cls_logits, reg = self.bbox_head(
+            roi_feats.reshape(B * R, *roi_feats.shape[2:])
+            .astype(c.compute_dtype)
+        )
+        probs = jax.nn.softmax(cls_logits, axis=-1).reshape(B, R, -1)
+        fg_score = probs[..., 0]  # single foreground class
         boxes = delta2bbox(
-            proposals, reg, stds=(0.1, 0.1, 0.2, 0.2), max_shape=img_shape
+            proposals, reg.reshape(B, R, 4),
+            stds=(0.1, 0.1, 0.2, 0.2), max_shape=img_shape,
         )
 
         score = jnp.where(
             prop_valid & (fg_score > c.rcnn_score_thr), fg_score, -jnp.inf
         )
-        keep2, valid2 = nms_fixed(boxes, score, c.rcnn_iou_thr, c.rcnn_max)
-        out_boxes = boxes[keep2]
-        out_scores = jnp.where(valid2, fg_score[keep2], 0.0)
-        return out_boxes, out_scores, valid2
+
+        n_out = min(c.rcnn_max, boxes.shape[1])
+        pad = c.rcnn_max - n_out
+
+        def final_one(bx, sc, fg):
+            keep2, valid2 = nms_fixed(bx, sc, c.rcnn_iou_thr, n_out)
+            out_b = bx[keep2]
+            out_s = jnp.where(valid2, fg[keep2], 0.0)
+            if pad:  # keep the (rcnn_max,) output contract when K < max
+                out_b = jnp.pad(out_b, ((0, pad), (0, 0)))
+                out_s = jnp.pad(out_s, (0, pad))
+                valid2 = jnp.pad(valid2, (0, pad))
+            return out_b, out_s, valid2
+
+        return jax.vmap(final_one)(boxes, score, fg_score)
+
+
+def detect_frames(model: SwinMaskRCNN, variables, images, img_shape=None):
+    """Production chunk inference: sequential backbone, batched head.
+
+    The Swin backbone at 800x608 already fills the chip per image —
+    batching it only adds VMEM pressure (measured v5e: 6.4 ms/img at B=1
+    vs 9.2 at B=16), so the trunk runs per image under ``lax.map`` while
+    the proposal/RoI/box-head tail (cheap per image, latency-bound when
+    sequential) runs batched across the whole chunk.
+
+    images: (B, H, W, 3) normalized, padded to /32.
+    Returns (boxes (B, rcnn_max, 4), scores (B, rcnn_max), valid).
+    """
+    trunk_out = jax.lax.map(
+        lambda im: model.apply(variables, im[None], method="trunk"), images
+    )
+    # lax.map stacks the per-image outputs as (B, 1, ...) — drop the dummy
+    fpn_feats, rpn_outs = jax.tree.map(
+        lambda x: x.reshape(x.shape[0], *x.shape[2:]), trunk_out
+    )
+    return model.apply(variables, fpn_feats, rpn_outs, img_shape,
+                       method="head")

@@ -106,6 +106,30 @@ def detector_input(
     return padded[None], scale, (h_res, w_res)
 
 
+def detector_input_batch(
+    imgs: jnp.ndarray, target: int = 800, divisor: int = 32
+) -> tuple[jnp.ndarray, float, Tuple[int, int]]:
+    """Batched ``detector_input``: (B, H, W, 3) -> (padded (B, Hp, Wp, 3),
+    scale, (h_res, w_res)). Scale/pad are static functions of the input
+    shape, so the whole chunk resizes in one batched einsum."""
+    B, H, W, _ = imgs.shape
+    scale = min(target / H, target / W)
+    h_res, w_res = int(round(H * scale)), int(round(W * scale))
+    sy, sx = H / h_res, W / w_res
+    ys = (jnp.arange(h_res) + 0.5) * sy - 0.5
+    xs = (jnp.arange(w_res) + 0.5) * sx - 0.5
+    Wy = _interp_matrix(ys, H)
+    Wx = _interp_matrix(xs, W)
+    resized = jnp.einsum("ih,bhwc,jw->bijc", Wy,
+                         imgs.astype(jnp.float32), Wx,
+                         preferred_element_type=jnp.float32)
+    norm = normalize_rgb(resized)
+    Hp = -(-h_res // divisor) * divisor
+    Wp = -(-w_res // divisor) * divisor
+    padded = jnp.pad(norm, ((0, 0), (0, Hp - h_res), (0, Wp - w_res), (0, 0)))
+    return padded, scale, (h_res, w_res)
+
+
 def bbox_to_center_scale(
     bboxes: jnp.ndarray, aspect: float = 192.0 / 256.0, padding: float = 1.25
 ):

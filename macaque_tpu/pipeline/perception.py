@@ -50,10 +50,11 @@ class FlaxPerception:
         import jax
         import jax.numpy as jnp
         from macaque_tpu.nn.preprocess import (
-            detector_input, normalize_rgb, udp_crop, bbox_to_center_scale,
-            id_crops, crop_coords_to_image,
+            detector_input_batch, normalize_rgb, udp_crop,
+            bbox_to_center_scale, id_crops, crop_coords_to_image,
         )
         from macaque_tpu.nn.heatmap import udp_decode, flip_heatmaps
+        from macaque_tpu.nn.detector import detect_frames
 
         det_model = self.detector_model
         det_vars = self.detector_vars
@@ -67,19 +68,16 @@ class FlaxPerception:
         @jax.jit
         def _detect(frames):  # (B, H, W, 3) uint8 BGR
             rgb = frames[..., ::-1].astype(jnp.float32)
+            padded, scale, _ = detector_input_batch(rgb)
+            boxes, scores, valid = detect_frames(det_model, det_vars, padded)
+            boxes = boxes / scale
+            k = min(D, boxes.shape[1])
 
-            def one(img):
-                padded, scale, _ = detector_input(img)
-                boxes, scores, valid = det_model.apply(det_vars, padded)
-                boxes = boxes / scale
-                k = min(D, boxes.shape[0])
-                _, top = jax.lax.top_k(
-                    jnp.where(valid, scores, -jnp.inf), k
-                )
-                return boxes[top], jnp.where(valid[top], scores[top], 0.0)
+            def top_one(bx, sc, va):
+                _, top = jax.lax.top_k(jnp.where(va, sc, -jnp.inf), k)
+                return bx[top], jnp.where(va[top], sc[top], 0.0)
 
-            # sequential over frames: RPN NMS holds an O(N^2) IoU matrix
-            return jax.lax.map(one, rgb)
+            return jax.vmap(top_one)(boxes, scores, valid)
 
         pose_hw = tuple(pose_model.cfg.img_size)      # (H, W)
         pose_aspect = pose_hw[1] / pose_hw[0]

@@ -30,7 +30,9 @@ from macaque_tpu.core.config import (
     MACAQUE_BODYPARTS,
 )
 from macaque_tpu.filters.viterbi import viterbi_filter_joints
-from macaque_tpu.geometry.refine3d import refine_points_3d, RefineConfig
+from macaque_tpu.geometry.refine3d import (
+    refine_points_3d_batch, RefineConfig,
+)
 from macaque_tpu.geometry.triangulate import triangulate_dlt
 from macaque_tpu.geometry.ransac import triangulate_ransac
 from macaque_tpu.pipeline.artifacts import read_pickle, write_pickle, stage_done
@@ -147,40 +149,50 @@ def run_step4(
         n_deriv_smooth=tri_cfg.n_deriv_smooth,
     )
 
-    for a in range(n_animal):
-        points = f_pts[a].copy()          # (C, T, J, 2)
-        scores = f_scs[a].copy()
-        bad = scores < tri_cfg.score_threshold
-        points[bad] = np.nan
-
-        p2d = jnp.asarray(points)
-        und = omnidir_undistort(cam, p2d.reshape(n_cam, -1, 2))
-        undT = jnp.swapaxes(und, 0, 1)
+    # threshold + undistort + DLT for ALL animals in one batched program
+    # (semantically the reference's per-animal loop, step4:219, but a
+    # single dispatch — sequential per-animal solver launches dominated
+    # the pipeline wall clock)
+    points_all = f_pts.copy()                    # (A, C, T, J, 2)
+    bad_all = f_scs < tri_cfg.score_threshold
+    points_all[bad_all] = np.nan
+    p2d_all = jnp.asarray(points_all)
+    flat_ca = jnp.swapaxes(p2d_all, 0, 1).reshape(n_cam, -1, 2)  # (C, A*T*J, 2)
+    if tri_cfg.ransac:
+        p3d_init_all, _, _, _ = triangulate_ransac(cam, flat_ca)
+    else:
+        und = omnidir_undistort(cam, flat_ca)
+        undT = jnp.swapaxes(und, 0, 1)           # (A*T*J, C, 2)
         mask = ~jnp.isnan(undT[..., 0])
-        mask = mask & ~jnp.isnan(
-            jnp.swapaxes(p2d.reshape(n_cam, -1, 2), 0, 1)[..., 0]
-        )
-        if tri_cfg.ransac:
-            p3d_init, _, _, _ = triangulate_ransac(
-                cam, p2d.reshape(n_cam, -1, 2)
-            )
-        else:
-            p3d_init = triangulate_dlt(
-                jnp.nan_to_num(undT), cam.pmat, mask
-            )
-        p3d_init = np.asarray(p3d_init).reshape(n_frame, n_kp, 3)
+        mask = mask & ~jnp.isnan(jnp.swapaxes(flat_ca, 0, 1)[..., 0])
+        p3d_init_all = triangulate_dlt(jnp.nan_to_num(undT), cam.pmat, mask)
+    p3d_init_all = np.asarray(p3d_init_all).reshape(
+        n_animal, n_frame, n_kp, 3)
 
-        if tri_cfg.optim and np.isfinite(p3d_init[..., 0]).sum() >= 20:
-            p3d, jl = refine_points_3d(
-                cam, p2d, jnp.asarray(p3d_init),
-                constraints=constraints, constraints_weak=constraints_weak,
-                cfg=rcfg,
-                joint_lengths=(
-                    jnp.asarray(joint_len_fixed) if fixed_mode else None
-                ),
-            )
-            p3d = np.asarray(p3d)
-            joint_len_out.append(np.asarray(jl))
+    do_refine = np.array([
+        tri_cfg.optim and np.isfinite(p3d_init_all[a, ..., 0]).sum() >= 20
+        for a in range(n_animal)
+    ])
+    if do_refine.any():
+        p3d_ref_all, jl_all = refine_points_3d_batch(
+            cam, p2d_all, jnp.asarray(p3d_init_all),
+            constraints=constraints, constraints_weak=constraints_weak,
+            cfg=rcfg,
+            joint_lengths=(
+                jnp.asarray(joint_len_fixed) if fixed_mode else None
+            ),
+        )
+        p3d_ref_all = np.asarray(p3d_ref_all)
+        jl_all = np.asarray(jl_all)
+
+    for a in range(n_animal):
+        points = points_all[a]
+        scores = f_scs[a].copy()
+        p3d_init = p3d_init_all[a]
+        if do_refine[a]:
+            p3d = p3d_ref_all[a]
+            joint_len_out.append(
+                jl_all[a] if jl_all.ndim > 1 else jl_all)
             min_cams = 1
         else:
             p3d = p3d_init

@@ -1,0 +1,112 @@
+"""Full-pipeline wall-clock benchmark on the synthetic 4-camera scene.
+
+Measures what the kernel benchmark (bench.py) does not: steps 2-4, the
+host-side graph logic, video decode, and rendering — the same work the
+reference's ~30-min/1-min-demo figure covers (info_replication.md:44-45).
+
+Protocol: generate a synthetic recording, run the whole pipeline once to
+warm every jit cache, then re-run all stages on fresh output dirs and
+report per-stage wall-clock from the run manifest. Step 1 runs with the
+oracle perception backend, so its time here is the *host* cost of step 1
+(video decode, tracking, EMA, serialization); the NN kernel cost is
+measured separately by bench.py at full model size and combined there.
+
+Run as ``python -m macaque_tpu.tools.pipeline_bench``; prints one JSON
+object on stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def run(n_frame: int = 120, n_cam: int = 4, render: bool = True,
+        root: str | None = None) -> dict:
+    from macaque_tpu.tools.synthetic import (
+        make_test_rig, simulate_scene, project_scene, render_stores,
+        SyntheticPerception,
+    )
+    from macaque_tpu.pipeline.step1 import run_step1
+    from macaque_tpu.pipeline.step2 import run_step2
+    from macaque_tpu.pipeline.step3 import run_step3
+    from macaque_tpu.pipeline.step4 import run_step4
+    from macaque_tpu.tools.visualize import render_overlay
+
+    tmp = root or tempfile.mkdtemp(prefix="macaque_bench_")
+    raw = os.path.join(tmp, "videos")
+    rig = make_test_rig(n_cam)
+    kp3d_gt = simulate_scene(2, n_frame, seed=1)
+    proj = project_scene(rig, kp3d_gt)
+    render_stores(raw, "synth", rig, proj)
+
+    def factory(cam_name):
+        idx = rig.camera_ids.index(cam_name)
+        return SyntheticPerception(idx, proj, noise=1.0)
+
+    def one_pass(tag):
+        results = os.path.join(tmp, f"results_{tag}")
+        rd = os.path.join(results, "synth")
+        stages = {}
+        t0 = time.time()
+        run_step1("synth", results, raw, factory)
+        stages["step1_host"] = time.time() - t0
+        t0 = time.time()
+        run_step2(rd, rig)
+        stages["step2_crossview"] = time.time() - t0
+        t0 = time.time()
+        run_step3(rd, rig)
+        stages["step3_crossframe"] = time.time() - t0
+        t0 = time.time()
+        run_step4(rd, rig)
+        stages["step4_3d"] = time.time() - t0
+        if render:
+            t0 = time.time()
+            render_overlay("synth", 0, rd, raw, rig)
+            # one camera rendered; scale to all cameras like the reference
+            stages["render"] = (time.time() - t0) * n_cam
+        return stages
+
+    one_pass("warmup")          # compile everything once
+    stages = one_pass("timed")  # measured pass, fresh artifact dirs
+
+    n_cf = n_cam * n_frame
+    total = sum(stages.values())
+    out = {
+        "camera_frames": n_cf,
+        "stages_s": {k: round(v, 3) for k, v in stages.items()},
+        "pipeline_rest_s": round(total, 3),
+        "pipeline_rest_s_per_cf": round(total / n_cf, 5),
+        "pipeline_cf_s": round(n_cf / total, 2),
+    }
+    if root is None:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int,
+                    default=int(os.environ.get("BENCH_PIPE_FRAMES", 120)))
+    ap.add_argument("--cams", type=int, default=4)
+    ap.add_argument("--no-render", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (avoids remote-TPU tunnel "
+                         "latency when measuring host-side stages)")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    out = run(args.frames, args.cams, render=not args.no_render)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import sys
 
 
 def proc(data_name, fps, results_dir_root, device_str, config_path,
@@ -80,8 +79,7 @@ def build_flax_perception(weights_dir: str):
 def run_synthetic(root: str, n_frame: int = 120, render: bool = True):
     import numpy as np
 
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
-    from tests.synthetic_scene import (
+    from macaque_tpu.tools.synthetic import (
         make_test_rig, simulate_scene, project_scene, render_stores,
         SyntheticPerception,
     )

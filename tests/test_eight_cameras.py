@@ -18,7 +18,7 @@ from macaque_tpu.pipeline.step2 import run_step2
 from macaque_tpu.pipeline.step3 import run_step3
 from macaque_tpu.pipeline.step4 import run_step4
 from macaque_tpu.core.config import VALID_COLLAR_CLASSES
-from tests.synthetic_scene import make_test_rig, simulate_scene
+from macaque_tpu.tools.synthetic import make_test_rig, simulate_scene
 
 
 def synth_alldata(rig, kp3d, noise=1.0, seed=0):

@@ -10,7 +10,7 @@ from macaque_tpu.pipeline.artifacts import write_alldata, read_pickle
 from macaque_tpu.pipeline.step2 import run_step2
 from macaque_tpu.pipeline.step3 import run_step3
 from macaque_tpu.pipeline.step4 import run_step4
-from tests.synthetic_scene import make_test_rig, simulate_scene
+from macaque_tpu.tools.synthetic import make_test_rig, simulate_scene
 from tests.test_eight_cameras import synth_alldata
 
 

@@ -65,3 +65,21 @@ def test_perception_chunk_shapes(perception):
     assert labels.shape == (3, 4)
     assert (labels[1, 2:] == -1).all()
     assert (lsc >= 0).all() and (lsc <= 1).all()
+
+
+def test_detect_batch_matches_single(perception):
+    """detect_batch must reproduce the single-image path exactly —
+    batching only changes scheduling, not math."""
+    rng = np.random.default_rng(1)
+    frames = rng.integers(0, 255, (3, 128, 96, 3), dtype=np.uint8)
+    imgs = jnp.asarray(frames).astype(jnp.float32)
+    det = perception.detector_model
+    dv = perception.detector_vars
+    bb, sb, vb = det.apply(dv, imgs, method="detect_batch")
+    for i in range(3):
+        b1, s1, v1 = det.apply(dv, imgs[i : i + 1])
+        np.testing.assert_allclose(np.asarray(bb[i]), np.asarray(b1),
+                                   rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(sb[i]), np.asarray(s1),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(vb[i]), np.asarray(v1))

@@ -16,7 +16,7 @@ from macaque_tpu.pipeline.step2 import run_step2
 from macaque_tpu.pipeline.step3 import run_step3
 from macaque_tpu.pipeline.step4 import run_step4
 from macaque_tpu.pipeline.artifacts import read_pickle, read_alldata
-from tests.synthetic_scene import (
+from macaque_tpu.tools.synthetic import (
     make_test_rig, simulate_scene, project_scene, render_stores,
     SyntheticPerception,
 )
@@ -133,8 +133,14 @@ def test_step4_kp3d(scene, after_step4):
     for a in range(N_ANIMAL):
         e = np.linalg.norm(kp3d[a, :T3] - gt[a, :T3], axis=-1)
         errs.append(np.nanmedian(e))
-    # trajectories should be recovered to ~cm accuracy with correct identity
-    assert max(errs) < 30.0, f"3D errors too large: {errs}"
+    # regression pin: EVERY animal recovered to ~cm accuracy on CPU f64
+    # (observed ~10-11 mm) — round-1 shipped an asymmetric 46 mm animal-0
+    # outlier on TPU caused by default bf16 matmul passes in the geometry
+    # path; the per-animal bound + symmetry check guard both failure modes
+    assert max(errs) < 25.0, f"3D errors too large: {errs}"
+    assert max(errs) < 2.5 * min(errs) + 5.0, (
+        f"asymmetric per-animal errors (association/identity artifact): "
+        f"{errs}")
     # scores/errors present
     assert out["kp3d_err"].shape == kp3d.shape[:3]
     assert out["kp3d_score"].shape == kp3d.shape[:3]

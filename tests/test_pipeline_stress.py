@@ -12,7 +12,7 @@ from macaque_tpu.pipeline.step2 import run_step2
 from macaque_tpu.pipeline.step3 import run_step3
 from macaque_tpu.pipeline.step4 import run_step4
 from macaque_tpu.pipeline.artifacts import read_pickle
-from tests.synthetic_scene import (
+from macaque_tpu.tools.synthetic import (
     make_test_rig, simulate_scene, project_scene, render_stores,
     SyntheticPerception,
 )

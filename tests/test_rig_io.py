@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 
 from macaque_tpu.cameras.rig import CameraRig
-from tests.synthetic_scene import make_test_rig
+from macaque_tpu.tools.synthetic import make_test_rig
 
 h5py = pytest.importorskip("h5py")
 yaml = pytest.importorskip("yaml")

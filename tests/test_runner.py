@@ -7,7 +7,7 @@ import numpy as np
 
 from macaque_tpu.core.config import PipelineConfig
 from macaque_tpu.pipeline.runner import run_pipeline
-from tests.synthetic_scene import (
+from macaque_tpu.tools.synthetic import (
     make_test_rig, simulate_scene, project_scene, render_stores,
     SyntheticPerception,
 )

@@ -8,7 +8,7 @@ import numpy as np
 
 from macaque_tpu.pipeline.step1 import run_step1
 from macaque_tpu.pipeline.artifacts import read_alldata
-from tests.synthetic_scene import (
+from macaque_tpu.tools.synthetic import (
     make_test_rig, simulate_scene, project_scene, render_stores,
     SyntheticPerception,
 )

@@ -11,7 +11,7 @@ from macaque_tpu.cameras import omnidir_project
 from macaque_tpu.pipeline.artifacts import write_alldata, read_pickle
 from macaque_tpu.pipeline.step2 import run_step2
 from macaque_tpu.core.config import CrossViewConfig, VALID_COLLAR_CLASSES
-from tests.synthetic_scene import make_test_rig, simulate_scene
+from macaque_tpu.tools.synthetic import make_test_rig, simulate_scene
 
 
 def test_best_comb_rejects_wrong_same_camera_detection(tmp_path):
