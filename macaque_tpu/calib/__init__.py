@@ -20,6 +20,29 @@ from macaque_tpu.calib.boards import (
     detect_charuco,
     solve_pnp_extrinsics,
 )
+from macaque_tpu.calib.videos import (
+    Checkerboard,
+    CharucoBoard,
+    detect_board_video,
+    detect_board_images,
+    estimate_pose_rows,
+    merge_rows,
+    extract_points,
+    extract_rtvecs,
+)
+from macaque_tpu.calib.workflow import (
+    analyze_chessboard_videos,
+    calibrate_intrinsics_driver,
+    get_extrinsics_from_cage_keypoints,
+    save_cage_annotations,
+    analyze_aruco_marker_videos,
+    analyze_aruco_cube_videos,
+    optimize_extrinsics_driver,
+    optimize_all_camera_params_driver,
+    fix_extrinsic_optim,
+    extract_frames_for_3dannotation,
+    calibrate_from_videos,
+)
 
 __all__ = [
     "calibrate_intrinsics_omnidir",
@@ -28,4 +51,23 @@ __all__ = [
     "find_chessboard_corners",
     "detect_charuco",
     "solve_pnp_extrinsics",
+    "Checkerboard",
+    "CharucoBoard",
+    "detect_board_video",
+    "detect_board_images",
+    "estimate_pose_rows",
+    "merge_rows",
+    "extract_points",
+    "extract_rtvecs",
+    "analyze_chessboard_videos",
+    "calibrate_intrinsics_driver",
+    "get_extrinsics_from_cage_keypoints",
+    "save_cage_annotations",
+    "analyze_aruco_marker_videos",
+    "analyze_aruco_cube_videos",
+    "optimize_extrinsics_driver",
+    "optimize_all_camera_params_driver",
+    "fix_extrinsic_optim",
+    "extract_frames_for_3dannotation",
+    "calibrate_from_videos",
 ]

@@ -109,6 +109,25 @@ class ImgStoreReader:
     def get_next_image(self):
         return self.get_image(frame_index=self._row + 1)
 
+    def get_nearest_image(self, frame_time: float):
+        """Frame whose timestamp is closest to ``frame_time`` (imgstore
+        API used by the calibration/annotation tooling; reference
+        mct:348,847,880)."""
+        row = int(np.argmin(np.abs(self._ftimes - float(frame_time))))
+        return self.get_image(frame_index=row)
+
+    @property
+    def frame_count(self) -> int:
+        return len(self)
+
+    @property
+    def frame_min(self) -> int:
+        return int(self._fnums[0])
+
+    @property
+    def frame_max(self) -> int:
+        return int(self._fnums[-1])
+
     def close(self):
         if self._cap is not None:
             self._cap.release()
