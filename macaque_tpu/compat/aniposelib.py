@@ -28,6 +28,24 @@ class CameraGroup:
     def load(calibration_toml: str) -> "CameraGroup":
         return CameraGroup(CameraRig.from_calibration_toml(calibration_toml))
 
+    @staticmethod
+    def from_names(names: Sequence[str],
+                   img_size=(2048, 1536)) -> "CameraGroup":
+        """Uncalibrated group (reference cameras.py CameraGroup.from_names)
+        — a starting point for :meth:`calibrate_videos`."""
+        C = len(names)
+        K = np.tile(np.array([
+            [float(img_size[0]), 0.0, img_size[0] / 2.0],
+            [0.0, float(img_size[0]), img_size[1] / 2.0],
+            [0.0, 0.0, 1.0]]), (C, 1, 1))
+        rig = CameraRig(
+            camera_ids=[str(n) for n in names], K=K,
+            xi=np.zeros(C), D=np.zeros((C, 4)),
+            rvec=np.zeros((C, 3)), tvec=np.zeros((C, 3)),
+            size=(int(img_size[0]), int(img_size[1])),
+        )
+        return CameraGroup(rig)
+
     def get_names(self):
         return list(self.rig.camera_ids)
 
@@ -155,6 +173,150 @@ class CameraGroup:
             cfg=cfg, joint_lengths=jnp.asarray(joint_len),
         )
         return np.asarray(p3), np.asarray(jl)
+
+    # -------------------------------------------------------- calibration
+
+    def calibrate_rows(self, all_rows, board, init_intrinsics=True,
+                       init_extrinsics=True, verbose=True, **kwargs):
+        """Calibrate the whole group from per-camera board-detection rows
+        (reference cameras.py:1891-1926): per-camera intrinsic init from
+        planar views, PnP board poses, spanning-tree extrinsic init, then
+        a full bundle adjustment (JAX LM-CG) over all shared views.
+        Returns the final reprojection rms in px."""
+        import cv2
+
+        from macaque_tpu.calib.bundle import bundle_adjust_full
+        from macaque_tpu.calib.graph_init import (
+            initial_extrinsics_from_board_poses,
+        )
+        from macaque_tpu.calib.videos import (
+            estimate_pose_rows, extract_points, merge_rows,
+        )
+
+        rig = self.rig
+        names = self.get_names()
+        assert len(all_rows) == rig.n_cam
+        size = rig.size or (2048, 1536)
+
+        K = np.array(rig.K, float)
+        if init_intrinsics:
+            objp_full = board.object_points()
+            for i, rows in enumerate(all_rows):
+                obj_v, img_v = [], []
+                for r in rows:
+                    filled = np.asarray(r["filled"], float).reshape(-1, 2)
+                    good = ~np.isnan(filled[:, 0])
+                    if good.sum() >= 7:
+                        obj_v.append(objp_full[good].reshape(-1, 1, 3)
+                                     .astype(np.float32))
+                        img_v.append(filled[good].reshape(-1, 1, 2)
+                                     .astype(np.float32))
+                if not obj_v:
+                    raise ValueError(
+                        f"camera {names[i]}: no usable board views")
+                K[i] = cv2.initCameraMatrix2D(obj_v, img_v, tuple(size))
+
+        for i, rows in enumerate(all_rows):
+            estimate_pose_rows(rows, board, K[i], np.zeros(5))
+
+        merged = merge_rows(all_rows, cam_names=names)
+        imgp, extra = extract_points(merged, board, cam_names=names,
+                                     min_cameras=2)
+        if verbose:
+            print(f"calibrate_rows: {imgp.shape[1]} shared points over "
+                  f"{len(merged)} merged views")
+
+        if init_extrinsics:
+            board_poses = [
+                [
+                    (row[n]["rvec"], row[n]["tvec"])
+                    if n in row and row[n].get("rvec") is not None
+                    else None
+                    for row in merged
+                ]
+                for n in names
+            ]
+            rvecs, tvecs = initial_extrinsics_from_board_poses(board_poses)
+        else:
+            rvecs = np.array(rig.rvec, float)
+            tvecs = np.array(rig.tvec, float)
+
+        xi = np.array(rig.xi, float)
+        D = np.array(rig.D, float)
+
+        # structure init: DLT-triangulate the shared points with the
+        # initial calibration
+        init_rig = CameraRig(camera_ids=names, K=K, xi=xi, D=D,
+                             rvec=rvecs, tvec=tvecs, size=size)
+        p3d0 = CameraGroup(init_rig).triangulate(imgp)
+        seen = np.isfinite(p3d0[:, 0])
+        obs = imgp[:, seen]
+        K2, xi2, D2, rv, tv, _, rms = bundle_adjust_full(
+            K, xi, D, rvecs, tvecs, obs, np.nan_to_num(p3d0[seen]),
+            **kwargs)
+        if verbose:
+            print(f"calibrate_rows: bundle rms {rms:.3f} px")
+
+        self.rig = CameraRig(camera_ids=names, K=K2, xi=xi2, D=D2,
+                             rvec=rv, tvec=tv, mtx=rig.mtx,
+                             dist=rig.dist, size=size,
+                             metadata=dict(rig.metadata))
+        return rms
+
+    def calibrate_videos(self, videos, board, init_intrinsics=True,
+                         init_extrinsics=True, verbose=True, **kwargs):
+        """Calibrate from recorded board videos: ``videos`` is a list (one
+        per camera) of lists of filenames (reference cameras.py:1950-1964).
+        Returns (rms, all_rows)."""
+        from macaque_tpu.calib.videos import detect_board_video
+
+        all_rows = []
+        for cam_videos in videos:
+            rows_cam = []
+            for vnum, vidname in enumerate(cam_videos):
+                if verbose:
+                    print(vidname)
+                rows = detect_board_video(vidname, board, prefix=vnum)
+                if verbose:
+                    print(f"{len(rows)} boards detected")
+                rows_cam.extend(rows)
+            all_rows.append(rows_cam)
+
+        rms = self.calibrate_rows(all_rows, board,
+                                  init_intrinsics=init_intrinsics,
+                                  init_extrinsics=init_extrinsics,
+                                  verbose=verbose, **kwargs)
+        return rms, all_rows
+
+    def optim_points_possible(self, points: np.ndarray, p3ds: np.ndarray,
+                              constraints=(), constraints_weak=(),
+                              scale_smooth=4, scale_length=2,
+                              scale_length_weak=0.5,
+                              reproj_error_threshold=15,
+                              reproj_loss="soft_l1", n_deriv_smooth=1,
+                              scores=None, verbose=False):
+        """Multi-hypothesis refinement: (C, F, J, P, 2) candidate points
+        + (F, J, 3) init -> (refined (F, J, 3), soft-argmax weights
+        (C, F, J, P)) (reference cameras.py:1417-1513)."""
+        import jax.numpy as jnp
+        from macaque_tpu.geometry.refine3d import (
+            refine_points_3d_possible, RefineConfig,
+        )
+
+        cfg = RefineConfig(
+            scale_smooth=scale_smooth, scale_length=scale_length,
+            scale_length_weak=scale_length_weak,
+            reproj_error_threshold=reproj_error_threshold,
+            reproj_loss=reproj_loss, n_deriv_smooth=n_deriv_smooth,
+        )
+        p3, alphas = refine_points_3d_possible(
+            self.rig.omni(), jnp.asarray(np.asarray(points, float)),
+            jnp.asarray(np.asarray(p3ds, float)),
+            constraints=list(constraints),
+            constraints_weak=list(constraints_weak), cfg=cfg,
+            scores=None if scores is None else jnp.asarray(scores),
+        )
+        return np.asarray(p3), np.asarray(alphas)
 
     def triangulate_optim(self, points: np.ndarray, init_ransac=False,
                           init_progress=False, **kwargs):

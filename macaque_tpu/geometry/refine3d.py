@@ -223,6 +223,113 @@ def refine_points_3d(
     return p3, jl
 
 
+@partial(jax.jit, static_argnames=("n_p3d", "cfg", "beta"))
+def _lm_solve_possible(
+    x0: jnp.ndarray,
+    n_p3d: int,
+    cam,
+    p2ds,            # (C, F, J, P, 2), NaN = missing option
+    constraints,
+    constraints_weak,
+    scale_smooth_full,
+    cfg: RefineConfig,
+    beta: float,
+    scores,
+):
+    from macaque_tpu.geometry.lm import lm_solve, LMConfig
+
+    C, F, J, P, _ = p2ds.shape
+    n_len = constraints.shape[0] + constraints_weak.shape[0]
+    opt_bad = jnp.isnan(p2ds[..., 0])          # (C, F, J, P)
+    all_bad = jnp.all(opt_bad, axis=3)         # (C, F, J)
+    valid = (~all_bad)[..., None] & jnp.ones((1, 1, 1, 2), bool)
+
+    def resid_fn(x):
+        p3 = x[:n_p3d].reshape(F, J, 3)
+        jl = x[n_p3d:n_p3d + n_len]
+        alphas = x[n_p3d + n_len:].reshape(C, F, J, P)
+        # soft-argmax blend over the P candidate 2D points
+        # (reference cameras.py:1646-1659)
+        a_exp = jnp.where(opt_bad, 0.0, jnp.exp(beta * alphas))
+        a_sum = jnp.where(all_bad, 1.0, jnp.sum(a_exp, axis=3))
+        a_norm = a_exp / a_sum[..., None]
+        p2_blend = jnp.sum(
+            a_norm[..., None] * jnp.nan_to_num(p2ds), axis=3)
+        r_main = _residuals(
+            p3, jl, cam, p2_blend, valid, constraints, constraints_weak,
+            scale_smooth_full, cfg, scores,
+        )
+        # keep the blend decisive: penalize low std over options
+        # (reference cameras.py:1664-1666); masked where all options bad.
+        # eps inside the sqrt: plain std is non-differentiable at the
+        # uniform init (variance 0 -> NaN gradient kills the LM step)
+        var = jnp.mean(
+            (a_norm - jnp.mean(a_norm, axis=3, keepdims=True)) ** 2,
+            axis=3)
+        std = jnp.sqrt(var + 1e-12)
+        r_alpha = jnp.where(all_bad, 0.0, (1.0 - std) * 10.0)
+        return jnp.concatenate([r_main, r_alpha.ravel()])
+
+    x = lm_solve(
+        resid_fn, x0,
+        LMConfig(lm_iters=cfg.lm_iters, cg_iters=cfg.cg_iters,
+                 ftol=cfg.ftol),
+    )
+    alphas = x[n_p3d + n_len:].reshape(C, F, J, P)
+    a_exp = jnp.where(opt_bad, 0.0, jnp.exp(beta * alphas))
+    a_sum = jnp.where(all_bad, 1.0, jnp.sum(a_exp, axis=3))
+    a_norm = jnp.where(opt_bad, jnp.nan, a_exp / a_sum[..., None])
+    return x, a_norm
+
+
+def refine_points_3d_possible(
+    cam,
+    p2ds: jnp.ndarray,
+    p3ds_init: jnp.ndarray,
+    constraints=(),
+    constraints_weak=(),
+    cfg: RefineConfig = RefineConfig(),
+    beta: float = 5.0,
+    scores: Optional[jnp.ndarray] = None,
+):
+    """Multi-hypothesis 3D refinement (reference ``optim_points_possible``,
+    cameras.py:1417-1513): each (camera, frame, joint) observation comes
+    with P candidate 2D points; per-candidate mixing weights are free
+    parameters blended by a beta-softmax, optimized jointly with the 3D
+    trajectory and bone lengths.
+
+    p2ds: (C, F, J, P, 2) candidate pixels, NaN = missing option.
+    p3ds_init: (F, J, 3) initial trajectory.
+    Returns (p3ds (F, J, 3), alphas_norm (C, F, J, P) — the converged
+    soft-argmax weights, NaN where the option was missing).
+    """
+    constraints = jnp.asarray(constraints, dtype=jnp.int32).reshape(-1, 2)
+    constraints_weak = jnp.asarray(
+        constraints_weak, dtype=jnp.int32).reshape(-1, 2)
+    C, F, J, P, _ = p2ds.shape
+
+    flat = p3ds_init.reshape(F, -1)
+    interp = jax.vmap(interpolate_nan, in_axes=1, out_axes=1)(flat)
+    med = jax.vmap(lambda v: median_filter_1d(v, 7),
+                   in_axes=1, out_axes=1)(interp)
+    p3ds_intp = interp.reshape(F, J, 3)
+    p3ds_med = med.reshape(F, J, 3)
+    default_smooth = 1.0 / jnp.mean(jnp.abs(jnp.diff(p3ds_med, axis=0)))
+    scale_smooth_full = cfg.scale_smooth * default_smooth
+
+    jl0 = initialize_joint_lengths(p3ds_intp, constraints,
+                                   constraints_weak)
+    alphas0 = jnp.zeros((C, F, J, P))
+    x0 = jnp.nan_to_num(jnp.concatenate(
+        [p3ds_intp.ravel(), jl0, alphas0.ravel()]))
+
+    x, a_norm = _lm_solve_possible(
+        x0, F * J * 3, cam, p2ds, constraints, constraints_weak,
+        scale_smooth_full, cfg, float(beta), scores,
+    )
+    return x[: F * J * 3].reshape(F, J, 3), a_norm
+
+
 def refine_points_3d_batch(
     cam,
     p2ds: jnp.ndarray,

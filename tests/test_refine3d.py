@@ -155,3 +155,80 @@ def test_initialize_joint_lengths_outlier_clamp():
         jnp.asarray(p3d), jnp.asarray([[0, 1], [1, 2]]), jnp.zeros((0, 2), jnp.int32)
     ))
     assert jl[0] == 100.0
+
+
+def test_refine_points_possible_picks_true_candidates():
+    """Multi-hypothesis refinement (reference optim_points_possible,
+    cameras.py:1417-1513): each observation offers P candidate pixels;
+    the soft-argmax weights must converge onto the true candidate and
+    the trajectory must beat the decoy-contaminated init."""
+    from macaque_tpu.geometry.refine3d import refine_points_3d_possible
+
+    rng = np.random.default_rng(11)
+    cam = make_rig(4)
+    p3d_true = make_walk(F=16, J=3, seed=12)
+    F, J, _ = p3d_true.shape
+    C, P = 4, 3
+
+    pix = np.array(omnidir_project(cam, jnp.asarray(
+        p3d_true.reshape(-1, 3)))).reshape(C, F, J, 2)
+    cands = np.full((C, F, J, P, 2), np.nan)
+    true_slot = rng.integers(0, P, (C, F, J))
+    for p in range(P):
+        sel = true_slot == p
+        decoy = pix + rng.uniform(40, 90, pix.shape) * \
+            np.sign(rng.normal(size=pix.shape))
+        cands[..., p, :] = np.where(sel[..., None],
+                                    pix + rng.normal(0, 0.5, pix.shape),
+                                    decoy)
+    # drop some options entirely
+    drop = rng.uniform(size=(C, F, J, P)) < 0.1
+    drop[true_slot[..., None] == np.arange(P)] = False
+    cands[drop] = np.nan
+
+    p3d_init = p3d_true + rng.normal(0, 15.0, p3d_true.shape)
+    cfg = RefineConfig(scale_smooth=1.0, scale_length=2.0,
+                       reproj_error_threshold=8.0, lm_iters=40)
+    p3d_ref, alphas = refine_points_3d_possible(
+        cam, jnp.asarray(cands), jnp.asarray(p3d_init),
+        constraints=[[0, 1], [1, 2]], cfg=cfg,
+    )
+    p3d_ref = np.asarray(p3d_ref)
+    alphas = np.asarray(alphas)
+
+    err_init = np.linalg.norm(p3d_init - p3d_true, axis=-1).mean()
+    err_ref = np.linalg.norm(p3d_ref - p3d_true, axis=-1).mean()
+    assert np.isfinite(p3d_ref).all()
+    assert err_ref < err_init * 0.5, (err_ref, err_init)
+    assert err_ref < 12.0, err_ref
+
+    # weights: argmax matches the true slot for a large majority
+    pick = np.nanargmax(np.nan_to_num(alphas, nan=-1.0), axis=-1)
+    acc = (pick == true_slot).mean()
+    assert acc > 0.8, acc
+    # weights normalized over available options
+    s = np.nansum(alphas, axis=-1)
+    np.testing.assert_allclose(s, 1.0, atol=1e-6)
+
+
+def test_optim_points_possible_facade():
+    from macaque_tpu.cameras.rig import CameraRig
+    from macaque_tpu.compat.aniposelib import CameraGroup
+
+    cam = make_rig(3)
+    rig = CameraRig(
+        camera_ids=["0", "1", "2"],
+        K=np.asarray(cam.K), xi=np.asarray(cam.xi),
+        D=np.asarray(cam.D), rvec=np.asarray(cam.rvec),
+        tvec=np.asarray(cam.tvec),
+    )
+    group = CameraGroup(rig)
+    p3d_true = make_walk(F=8, J=2, seed=20)
+    pix = np.array(omnidir_project(cam, jnp.asarray(
+        p3d_true.reshape(-1, 3)))).reshape(3, 8, 2, 2)
+    cands = np.stack([pix, pix + 50.0], axis=3)  # P=2, slot 0 true
+    p3, alphas = group.optim_points_possible(
+        cands, p3d_true + 5.0, constraints=[[0, 1]])
+    assert p3.shape == (8, 2, 3)
+    assert alphas.shape == (3, 8, 2, 2)
+    assert (np.nanargmax(alphas, axis=-1) == 0).mean() > 0.9
