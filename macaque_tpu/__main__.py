@@ -55,6 +55,44 @@ def main(argv=None):
                     help="dir with detection/pose/id .pth checkpoints")
     sp.add_argument("--cache", default="./model/cache")
 
+    # anipose-style session workflows (project config.toml driven)
+    for name in ("triangulate-session", "project-2d", "label-videos",
+                 "session-angles", "tracking-errors"):
+        sp = sub.add_parser(name)
+        sp.add_argument("--config", default="config.toml",
+                        help="anipose project config.toml")
+        if name == "tracking-errors":
+            sp.add_argument("--labeled", default="labeled-data")
+
+    sp = sub.add_parser(
+        "sweep", help="tracker hyperparameter sweep on the synthetic "
+                      "scene (tracking_evaluation notebook harness)")
+    sp.add_argument("--out", default="./results3D_sweep")
+    sp.add_argument("--frames", type=int, default=96)
+    sp.add_argument("--cams", type=int, default=4)
+
+    sp = sub.add_parser("summarize")
+    sp.add_argument("what", choices=("pose3d", "pose3d-filtered",
+                                     "pose2d", "pose2d-filtered",
+                                     "angles", "errors"))
+    sp.add_argument("--config", default="config.toml")
+
+    sp = sub.add_parser(
+        "calibrate",
+        help="calibrate the rig from recorded board/marker videos "
+             "(multicam_toolbox workflow)")
+    sp.add_argument("config", help="path to calib config.yaml")
+    sp.add_argument("--step", default="all",
+                    choices=("all", "chessboard", "intrinsic",
+                             "cage-extrinsic", "marker", "cube",
+                             "optimize", "optimize-full", "fix"))
+    sp.add_argument("--marker-mode", default="cube",
+                    choices=("cube", "marker"))
+    sp.add_argument("--frame-intv", type=int, default=5)
+    sp.add_argument("--fps", type=float, default=24.0)
+    sp.add_argument("--ref", type=int, default=0,
+                    help="reference camera for the 'fix' step")
+
     args = p.parse_args(argv)
 
     from macaque_tpu.cameras.rig import CameraRig
@@ -127,6 +165,70 @@ def main(argv=None):
 
         for p in plot_all(args.kp3d_pickle, args.out, args.fps):
             print(f"wrote {p}")
+    elif args.cmd == "sweep":
+        from macaque_tpu.tools.sweep import rank_sweep, run_synthetic_sweep
+
+        log = run_synthetic_sweep(args.out, n_frame=args.frames,
+                                  n_cam=args.cams)
+        print(f"wrote {log}")
+        for row in rank_sweep(log):
+            print(row)
+    elif args.cmd in ("triangulate-session", "project-2d",
+                      "label-videos", "session-angles",
+                      "tracking-errors", "summarize"):
+        from macaque_tpu.tools import session as ses
+
+        config = ses.load_session_config(args.config)
+        if args.cmd == "triangulate-session":
+            out = ses.triangulate_all(config)
+        elif args.cmd == "project-2d":
+            out = ses.project_2d_all(config)
+        elif args.cmd == "label-videos":
+            out = ses.label_videos_all(config)
+        elif args.cmd == "session-angles":
+            out = ses.angles_all(config)
+        elif args.cmd == "tracking-errors":
+            out = {(): [ses.get_tracking_errors(config,
+                                                labeled_dir=args.labeled)]}
+        else:
+            fn = {
+                "pose3d": ses.summarize_pose3d,
+                "pose3d-filtered": ses.summarize_pose3d_filtered,
+                "pose2d": ses.summarize_pose2d,
+                "pose2d-filtered": ses.summarize_pose2d_filtered,
+                "angles": ses.summarize_angles,
+                "errors": ses.summarize_errors,
+            }[args.what]
+            out = {(): [fn(config)]}
+        for files in out.values():
+            for f in files or ():
+                print(f"wrote {f}")
+    elif args.cmd == "calibrate":
+        from macaque_tpu.calib import workflow as wf
+
+        if args.step == "all":
+            wf.calibrate_from_videos(
+                args.config, marker_mode=args.marker_mode,
+                frame_intv=args.frame_intv, fps=args.fps)
+        elif args.step == "chessboard":
+            wf.analyze_chessboard_videos(args.config,
+                                         frame_intv=args.frame_intv)
+        elif args.step == "intrinsic":
+            wf.calibrate_intrinsics_driver(args.config)
+        elif args.step == "cage-extrinsic":
+            wf.get_extrinsics_from_cage_keypoints(args.config)
+        elif args.step == "marker":
+            wf.analyze_aruco_marker_videos(args.config)
+        elif args.step == "cube":
+            wf.analyze_aruco_cube_videos(args.config,
+                                         frame_intv=args.frame_intv,
+                                         fps=args.fps)
+        elif args.step == "optimize":
+            wf.optimize_extrinsics_driver(args.config)
+        elif args.step == "optimize-full":
+            wf.optimize_all_camera_params_driver(args.config)
+        elif args.step == "fix":
+            wf.fix_extrinsic_optim(args.config, ref=args.ref)
     elif args.cmd == "convert-weights":
         from macaque_tpu.nn.checkpoint import convert_and_cache
         from macaque_tpu.nn.convert import (
