@@ -108,3 +108,53 @@ class TestConfigToml:
         assert len(tri["constraints"]) == 20
         assert len(tri["constraints_weak"]) == 11
         assert doc["filter"]["type"] == "viterbi"
+
+
+def test_class_weights_and_training_log(tmp_path):
+    """id_eval notebook surfaces: class weights + mmengine log parsing."""
+    import json
+
+    from macaque_tpu.tools.analysis import (
+        class_weights_from_counts, moving_average, parse_training_log,
+    )
+
+    w = class_weights_from_counts([176, 50, 121, 165, 1340, 52])
+    assert abs(w[0] - sum([176, 50, 121, 165, 1340, 52]) / (6 * 176)) < 1e-9
+    assert w[4] == min(w)  # most frequent class gets least weight
+
+    log = tmp_path / "vis.json"
+    with open(log, "w") as f:
+        for ep in range(1, 4):
+            for it in range(3):
+                f.write(json.dumps({"epoch": ep, "iter": it,
+                                    "loss": 1.0 / ep + it * 0.01}) + "\n")
+            f.write(json.dumps({"step": ep,
+                                "accuracy/top1": 50.0 + ep * 10}) + "\n")
+    d = parse_training_log(str(log))
+    assert list(d["train_epochs"]) == [1, 2, 3]
+    assert d["avg_loss"][0] > d["avg_loss"][2]
+    assert d["best_step"] == 3 and d["best_acc"] == 80.0
+
+    m = moving_average([1.0, 1, 1, 5, 1, 1, 1], window=3)
+    assert m.shape == (7,) and abs(m[3] - 7 / 3) < 1e-9
+
+
+def test_joint_length_summary_and_h5_inspect(tmp_path):
+    import h5py
+
+    from macaque_tpu.tools.analysis import (
+        inspect_calibration_h5, joint_length_summary,
+    )
+
+    jl = np.abs(np.random.default_rng(0).normal(100, 5, (4, 16)))
+    s = joint_length_summary(jl)
+    assert s["mean"].shape == (16,) and len(s["labels"]) == 16
+    np.testing.assert_allclose(s["mean"], jl.mean(axis=0))
+
+    p = tmp_path / "cam_intrinsic.h5"
+    with h5py.File(p, "w") as f:
+        f.create_dataset("/123/mtx", data=np.diag([800.0, 900, 1]))
+        f.create_dataset("/123/dist", data=np.zeros((1, 5)))
+    info = inspect_calibration_h5(str(p))
+    assert info["123"]["fx"] == 800.0 and info["123"]["fy"] == 900.0
+    assert info["123"]["dist"] == (1, 5)
