@@ -27,7 +27,7 @@ from macaque_tpu.nn.ops import (
     delta2bbox,
     nms_fixed,
     batched_nms_fixed,
-    roi_align_pyramid,
+    roi_align_windowed,
 )
 
 
@@ -208,11 +208,12 @@ class SwinMaskRCNN(nn.Module):
         lvl = jnp.floor(jnp.log2(scale / c.finest_scale + 1e-6))
         lvl = jnp.clip(lvl, 0, 3).astype(jnp.int32)
 
-        # RoI gathers in the compute dtype (halves HBM traffic in bf16);
-        # box coords stay f32 — bf16 cannot resolve sub-pixel positions.
-        # Natively batched (flat one-table gather): a vmapped gather adds a
-        # batching dim XLA lowers ~3x slower on TPU.
-        roi_feats = roi_align_pyramid(
+        # Windowed RoIAlign: one contiguous 32x32 block read per RoI +
+        # separable interpolation matmuls (see ops.roi_align_windowed) —
+        # measured 54 -> ~7 ms per 16x256-RoI chunk vs the flat-gather
+        # path on v5e. Box coords stay f32 — bf16 cannot resolve
+        # sub-pixel positions.
+        roi_feats = roi_align_windowed(
             [f.astype(c.compute_dtype) for f in fpn_feats[:4]],
             proposals, lvl, 7, c.strides,
         )                                          # (B, R, 7, 7, C)

@@ -121,13 +121,34 @@ def nms_fixed(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thr: float,
     s = scores[order]
     iou = bbox_iou(b, b)
     tri = jnp.tril(jnp.ones((N, N), bool), k=-1)
-    # suppress[i, j] true when higher-ranked j (j < i) overlaps i
+    # suppress[i, j] true when higher-ranked j (j < i) overlaps i.
+    # Bitpacked along j (32 candidates per uint32 lane): every sweep
+    # re-reads the whole suppression matrix, and at N~4.5k the bool form
+    # is 20 MB/image — packing cuts sweep traffic 8x (profiled: NMS
+    # sweeps were ~17 ms of a 16-frame detector chunk on v5e).
     suppress = (iou > iou_thr) & tri
     valid = s > -jnp.inf
 
+    n_words = -(-N // 32)
+    pad = n_words * 32 - N
+    bit = jnp.left_shift(jnp.uint32(1), jnp.arange(32, dtype=jnp.uint32))
+    sup_packed = jnp.sum(
+        jnp.pad(suppress, ((0, 0), (0, pad)))
+        .reshape(N, n_words, 32).astype(jnp.uint32) * bit,
+        axis=-1, dtype=jnp.uint32,
+    )                                               # (N, n_words)
+
+    def pack(alive):
+        return jnp.sum(
+            jnp.pad(alive, (0, pad)).reshape(n_words, 32)
+            .astype(jnp.uint32) * bit,
+            axis=-1, dtype=jnp.uint32,
+        )
+
     def body(state):
         alive, _, it = state
-        new = valid & ~jnp.any(suppress & alive[None, :], axis=1)
+        hit = jnp.any((sup_packed & pack(alive)[None, :]) != 0, axis=1)
+        new = valid & ~hit
         return new, alive, it + 1
 
     def cond(state):
@@ -230,6 +251,120 @@ def roi_align(feat: jnp.ndarray, rois: jnp.ndarray, out_size: int,
     R = rois.shape[0]
     vals = vals.reshape(R, out_size, s, out_size, s, C)
     return vals.mean(axis=(2, 4))
+
+
+def roi_align_windowed(feats, rois: jnp.ndarray, levels: jnp.ndarray,
+                       out_size: int, strides, sampling_ratio: int = 2,
+                       window: int = 48) -> jnp.ndarray:
+    """Aligned pyramid RoIAlign via per-RoI window slices + separable
+    interpolation matmuls (the production detector path).
+
+    Two TPU-specific observations make this exact and fast:
+
+    1. mmdet's scale-based level assignment (``finest_scale=56``,
+       detector.py) bounds every RoI's sqrt-area extent *in its own
+       level's coordinates* to 28 px — the long axis of an aspect-a box
+       to 28*sqrt(a) px — so a fixed ``window``x``window`` slice around
+       the RoI covers all its sample points (window=48 covers aspect 2,
+       the RPN anchor-ratio range). Each RoI then needs one contiguous
+       block read instead of ``(out_size*s)^2`` scattered row gathers
+       (gathers are indices-bound on TPU: ~54 ms per 16x256-RoI chunk
+       measured on v5e, vs a few ms of block DMA for this path).
+    2. The sample grid is an outer product (gy x gx) and bilinear
+       weights separate per axis, so averaging the s x s samples per
+       bin is *exactly* a pair of small interpolation matrices:
+       ``out[p,q] = mean_ab w_y(p,a)·w_x(q,b)·F = (Ky @ F @ Kx^T)[p,q]``
+       — the same matmul-form resampling trick as preprocess.udp_crop,
+       here with mmcv's outside-map zeroing and border clamping baked
+       into the matrix rows.
+
+    feats: list of (B, H_l, W_l, C); rois (B, R, 4) image-coord xyxy;
+    levels (B, R) int. Returns (B, R, out, out, C).
+
+    RoIs whose extent exceeds ``window - 2`` px at their level (aspect
+    ratio beyond ~2.9 at the level's top scale — outside the RPN anchor
+    ratios) have their sample grid clamped to the window, a
+    border-replication approximation on the overflowing axis.
+    """
+    L = len(feats)
+    B, H0, W0, C = feats[0].shape
+    R = rois.shape[1]
+    window = min(window, H0, W0)   # tiny inputs: window can't exceed canvas
+    s = sampling_ratio
+    n = out_size * s
+
+    # level stack on a common (H0, W0) canvas; rows beyond H_l are zero
+    # (never read: stencil indices are clamped to the valid extent)
+    canvas = jnp.stack(
+        [jnp.pad(f, ((0, 0), (0, H0 - f.shape[1]),
+                     (0, W0 - f.shape[2]), (0, 0))) for f in feats],
+        axis=1,
+    )                                               # (B, L, H0, W0, C)
+
+    Hs = jnp.asarray([f.shape[1] for f in feats])[levels]   # (B, R)
+    Ws = jnp.asarray([f.shape[2] for f in feats])[levels]
+    scale = jnp.asarray(
+        1.0 / np.asarray(strides, np.float32)[:L], rois.dtype)[levels]
+
+    x1 = rois[..., 0] * scale - 0.5
+    y1 = rois[..., 1] * scale - 0.5
+    x2 = rois[..., 2] * scale - 0.5
+    y2 = rois[..., 3] * scale - 0.5
+
+    grid = (jnp.arange(n) + 0.5) / s                # fractional bin coords
+    gy = y1[..., None] + grid * ((y2 - y1) / out_size)[..., None]
+    gx = x1[..., None] + grid * ((x2 - x1) / out_size)[..., None]
+
+    def axis_matrix(g, extent, max_start):
+        """g (B, R, n) sample coords; extent (B, R) valid length H_l/W_l.
+        Returns (start (B, R) int, K (B, R, n, window))."""
+        center = 0.5 * (g[..., 0] + g[..., -1])
+        start = jnp.clip(
+            jnp.floor(center).astype(jnp.int32) - window // 2,
+            0, jnp.maximum(max_start, 0),
+        )
+        startf = start.astype(g.dtype)[..., None]
+        # mmcv semantics: samples fully outside (-1, extent) contribute 0;
+        # inside samples clamp their stencil to [0, extent-1]
+        inside = (g > -1.0) & (g < extent[..., None])
+        gc = jnp.clip(g, 0.0, extent[..., None] - 1.0)
+        # clamp into the window (only binds for >window-2 px extents)
+        rel = jnp.clip(gc - startf, 0.0, window - 1.0)
+        idx = jnp.arange(window, dtype=g.dtype)
+        K = jnp.maximum(0.0, 1.0 - jnp.abs(rel[..., None] - idx))
+        return start, K * inside[..., None]
+
+    ys, Ky = axis_matrix(gy, Hs.astype(gy.dtype), Hs - window)
+    xs, Kx = axis_matrix(gx, Ws.astype(gx.dtype), Ws - window)
+
+    # fold the s-sample average into the matrices: (B, R, out, window)
+    Ky = Ky.reshape(B, R, out_size, s, window).mean(3)
+    Kx = Kx.reshape(B, R, out_size, s, window).mean(3)
+
+    # one contiguous window block per RoI via vmapped dynamic_slice.
+    # XLA unrolls this into one slice kernel per RoI — measured v5e at
+    # 16x256 RoIs that is the FASTEST lowering (~28 ms/chunk, ~170 GB/s
+    # per slice): a single multi-dim-slice gather lowers element-wise
+    # (~66 ms), a flat 1-D gather of per-row runs serializes (~620 ms),
+    # and the 196-sample flat-index row gather (the pyramid path) is
+    # indices-bound (~54 ms).
+    bidx = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, R))
+
+    def slice_one(b, lvl, y0, x0):
+        return jax.lax.dynamic_slice(
+            canvas,
+            (b, lvl.astype(jnp.int32),
+             y0.astype(jnp.int32), x0.astype(jnp.int32), jnp.int32(0)),
+            (1, 1, window, window, C),
+        )[0, 0]
+
+    win = jax.vmap(jax.vmap(slice_one))(bidx, levels, ys, xs)
+    # separable interpolation on the MXU, in the table dtype (bf16 in
+    # production: weight quantization ~0.4% of a bin, below box noise)
+    Ky = Ky.astype(canvas.dtype)
+    Kx = Kx.astype(canvas.dtype)
+    mid = jnp.einsum("brpi,brijc->brpjc", Ky, win)
+    return jnp.einsum("brqj,brpjc->brpqc", Kx, mid)
 
 
 def roi_align_pyramid(feats, rois: jnp.ndarray, levels: jnp.ndarray,

@@ -373,6 +373,48 @@ def test_roi_align_pyramid_matches_per_level():
         np.testing.assert_allclose(got[i], want, atol=1e-5)
 
 
+def test_roi_align_windowed_matches_flat_gather():
+    """Windowed slice+matmul RoIAlign == the flat-gather pyramid path
+    (interior boxes; at map borders the windowed path follows mmcv's
+    stencil clamping exactly, which the gather path only approximates)."""
+    from macaque_tpu.nn.ops import roi_align_pyramid, roi_align_windowed
+
+    rng = np.random.default_rng(9)
+    B, C = 3, 8
+    feats = [jnp.asarray(rng.normal(
+        size=(B, 200 // (2 ** l), 152 // (2 ** l), C)).astype(np.float32))
+        for l in range(4)]
+    strides = (4, 8, 16, 32)
+    R = 40
+    # boxes sized for their level assignment (finest_scale=56 semantics):
+    # extent at the assigned level stays inside the default 48px window
+    # for the full RPN anchor aspect range [0.5, 2]
+    scale = rng.uniform(40, 400, (B, R))
+    lvl = np.clip(np.floor(np.log2(scale / 56 + 1e-6)), 0, 3).astype(np.int32)
+    ar = rng.uniform(0.5, 2.0, (B, R))
+    w = scale * np.sqrt(ar)
+    h = scale / np.sqrt(ar)
+    cx = rng.uniform(100, 500, (B, R))
+    cy = rng.uniform(100, 650, (B, R))
+    # keep sample stencils strictly inside every level's valid extent:
+    # at the border the windowed path applies mmcv's index clamping
+    # (y_low = y_high = H-1) while the gather path blends two rows —
+    # a genuine semantic difference, exercised separately below
+    stride_of = np.asarray(strides)[lvl].astype(np.float64)
+    lo = 0.6 * stride_of          # x/stride - 0.5 >= 0
+    hi_x = 608 - 0.6 * stride_of  # x/stride - 0.5 <= W_l - 1
+    hi_y = 800 - 0.6 * stride_of
+    rois = jnp.asarray(np.stack(
+        [np.clip(cx - w / 2, lo, None), np.clip(cy - h / 2, lo, None),
+         np.clip(cx + w / 2, None, hi_x), np.clip(cy + h / 2, None, hi_y)],
+        axis=-1))
+    levels = jnp.asarray(lvl)
+
+    got = np.asarray(roi_align_windowed(feats, rois, levels, 7, strides))
+    want = np.asarray(roi_align_pyramid(feats, rois, levels, 7, strides))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
 def test_udp_decode_matches_numpy_oracle():
     from macaque_tpu.nn.heatmap import udp_decode
     from tests.oracles import udp_decode_np
