@@ -170,6 +170,38 @@ def main():
         return jax.lax.fori_loop(0, n, body, jnp.int32(0))
 
     results["pose"] = measure("pose", pose_loop, pose_vars, frames, boxes)
+
+    # int8 serving path (nn/quant.py): weight + dynamic-activation int8
+    # on the transformer Dense layers. Reported separately — the headline
+    # keeps the exact bf16 parity path; int8 is the production serving
+    # knob (quantization accuracy is bounded by tests/test_quant.py but
+    # unvalidated against real checkpoints in this environment).
+    pose_int8_ms = None
+    if os.environ.get("BENCH_POSE_INT8", "1") == "1":
+        from macaque_tpu.nn.quant import quantize_vitpose_params
+
+        q_model = ViTPose(VitPoseConfig(compute_dtype=dtype,
+                                        use_pallas_attention=use_pallas,
+                                        quantize="int8"))
+        q_vars = quantize_vitpose_params(pose_vars)
+
+        def pose_loop_q(n, q_vars, frames, boxes):
+            def body(i, carry):
+                f = frames + carry.astype(jnp.uint8)
+                crops, centers, scales = crops_from(f, boxes)
+                hm = q_model.apply(q_vars, crops).astype(jnp.float32)
+                hm_f = q_model.apply(
+                    q_vars, crops[:, :, ::-1, :]).astype(jnp.float32)
+                hm = 0.5 * (hm + flip_heatmaps(hm_f))
+                kp, ks = udp_decode(hm)
+                kp = crop_coords_to_image(kp, centers, scales)
+                return jnp.sum(kp).astype(jnp.int32) % 3 + i * 0
+
+            return jax.lax.fori_loop(0, n, body, jnp.int32(0))
+
+        pose_int8_ms = measure("pose_int8", pose_loop_q, q_vars, frames,
+                               boxes) * 1000
+        del q_vars
     del pose_vars
 
     # -------------------------------------------------------------- id
@@ -236,6 +268,10 @@ def main():
     detail = {"kernel_cf_s": round(kernel_cf_s, 2),
               "kernel_ms_per_chunk": {k: round(v * 1000, 1)
                                       for k, v in results.items()}}
+    if pose_int8_ms is not None:
+        detail["pose_int8_ms"] = round(pose_int8_ms, 1)
+        total_q = total - results["pose"] + pose_int8_ms / 1000
+        detail["kernel_cf_s_int8"] = round(B / total_q, 2)
     cf_per_s = kernel_cf_s
     if os.environ.get("BENCH_PIPELINE", "1") == "1":
         import subprocess

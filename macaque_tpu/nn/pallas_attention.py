@@ -109,44 +109,56 @@ def fused_attention_blocked(q, k, v, interpret: bool = False):
 
 def _attn_kernel_packed(qkv_ref, o_ref, *, heads: int, head_dim: int,
                         scale: float):
+    # dots stay in the input dtype (bf16 in production) with f32
+    # accumulation — f32 MXU issue rate is 1/4 of bf16. Softmax
+    # statistics stay f32. The block holds G sequences per grid step
+    # (the kernel is DMA-pipeline bound at G=1: 64 steps x 1.5 MB
+    # measured ~42 ms/16-frame chunk on v5e) with per-head batched dots.
     C = heads * head_dim
     for h in range(heads):
         lo = h * head_dim
-        q = qkv_ref[0, :, lo : lo + head_dim].astype(jnp.float32)
-        k = qkv_ref[0, :, C + lo : C + lo + head_dim].astype(jnp.float32)
-        v = qkv_ref[0, :, 2 * C + lo : 2 * C + lo + head_dim].astype(
-            jnp.float32)
+        q = qkv_ref[:, :, lo : lo + head_dim]            # (G, N, D)
+        k = qkv_ref[:, :, C + lo : C + lo + head_dim]
+        v = qkv_ref[:, :, 2 * C + lo : 2 * C + lo + head_dim]
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
+            q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * scale
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
-        o_ref[0, :, lo : lo + head_dim] = jnp.dot(
-            p, v, preferred_element_type=jnp.float32
+        o_ref[:, :, lo : lo + head_dim] = jax.lax.dot_general(
+            p.astype(qkv_ref.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
         ).astype(o_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("heads", "interpret"))
-def fused_attention_packed(qkv, heads: int, interpret: bool = False):
+def fused_attention_packed(qkv, heads: int, interpret: bool = False,
+                           block: int = 2):
     """Attention directly on the packed qkv activation (B, N, 3C) — the
     layout the qkv Dense produces — writing (B, N, C) for the output
     projection. No HBM layout changes: head slicing happens in VMEM.
+    ``block`` sequences are processed per grid step so the input DMA
+    pipelines deeply; 2 keeps ViT-huge crop shapes inside the 16 MB
+    scoped-VMEM limit (4 overflows it by the f32 softmax scratch).
     """
     B, N, C3 = qkv.shape
     C = C3 // 3
     D = C // heads
     scale = D ** -0.5
+    G = block
+    while B % G:
+        G //= 2
     out = pl.pallas_call(
         partial(_attn_kernel_packed, heads=heads, head_dim=D, scale=scale),
         out_shape=jax.ShapeDtypeStruct((B, N, C), qkv.dtype),
-        grid=(B,),
+        grid=(B // G,),
         in_specs=[pl.BlockSpec(
-            (1, N, C3), lambda i: (i, 0, 0),
+            (G, N, C3), lambda i: (i, 0, 0),
             memory_space=pl.ANY if interpret else pltpu.VMEM)],
         out_specs=pl.BlockSpec(
-            (1, N, C), lambda i: (i, 0, 0),
+            (G, N, C), lambda i: (i, 0, 0),
             memory_space=pl.ANY if interpret else pltpu.VMEM),
         interpret=interpret,
     )(qkv)
@@ -220,13 +232,14 @@ def fused_window_attention(qkv, bias, mask, heads: int,
 def _window_attn_kernel_g(qkv_ref, bias_ref, mask_ref, o_ref, *,
                           heads: int, head_dim: int, scale: float,
                           with_mask: bool):
+    # dots in the input dtype (bf16 production) with f32 accumulation —
+    # f32 MXU issue rate is 1/4 of bf16; softmax statistics stay f32
     C = heads * head_dim
     for h in range(heads):
         lo = h * head_dim
-        q = qkv_ref[:, :, lo : lo + head_dim].astype(jnp.float32)
-        k = qkv_ref[:, :, C + lo : C + lo + head_dim].astype(jnp.float32)
-        v = qkv_ref[:, :, 2 * C + lo : 2 * C + lo + head_dim].astype(
-            jnp.float32)
+        q = qkv_ref[:, :, lo : lo + head_dim]
+        k = qkv_ref[:, :, C + lo : C + lo + head_dim]
+        v = qkv_ref[:, :, 2 * C + lo : 2 * C + lo + head_dim]
         # batched over the G windows in this block
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
@@ -239,7 +252,7 @@ def _window_attn_kernel_g(qkv_ref, bias_ref, mask_ref, o_ref, *,
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
         o = jax.lax.dot_general(
-            p, v, (((2,), (1,)), ((0,), (0,))),
+            p.astype(qkv_ref.dtype), v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
         o_ref[:, :, lo : lo + head_dim] = o.astype(o_ref.dtype)

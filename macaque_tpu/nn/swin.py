@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from macaque_tpu.nn.layers import FusedLayerNorm
+
 
 @dataclass(frozen=True)
 class SwinConfig:
@@ -67,8 +69,14 @@ class WindowAttention(nn.Module):
             nn.initializers.truncated_normal(0.02),
             ((2 * c.window - 1) ** 2, self.heads),
         )
+        # static one-hot matmul instead of a runtime gather: the index
+        # pattern is compile-time constant and TPU gathers are
+        # indices-bound (~3 ms/16-frame chunk profiled across stages)
         idx = _rel_pos_index(c.window)
-        bias = table[idx.reshape(-1)].reshape(N, N, self.heads)
+        onehot = jnp.asarray(
+            np.eye((2 * c.window - 1) ** 2, dtype=np.float32)[idx.reshape(-1)]
+        )
+        bias = (onehot @ table).reshape(N, N, self.heads)
         bias_hnm = jnp.transpose(bias, (2, 0, 1))
 
         if c.use_pallas_attention:
@@ -141,7 +149,7 @@ class SwinBlock(nn.Module):
         B, H, W, C = x.shape
         w = c.window
         shortcut = x
-        x = nn.LayerNorm(epsilon=c.ln_eps, dtype=jnp.float32, name="ln1")(x)
+        x = FusedLayerNorm(epsilon=c.ln_eps, name="ln1")(x)
 
         pad_h = (w - H % w) % w
         pad_w = (w - W % w) % w
@@ -162,7 +170,7 @@ class SwinBlock(nn.Module):
         x = x[:, :H, :W]
         x = shortcut + x
 
-        h = nn.LayerNorm(epsilon=c.ln_eps, dtype=jnp.float32, name="ln2")(x)
+        h = FusedLayerNorm(epsilon=c.ln_eps, name="ln2")(x)
         h = nn.Dense(int(C * c.mlp_ratio), dtype=c.compute_dtype, name="fc1")(h)
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(C, dtype=c.compute_dtype, name="fc2")(h)
@@ -181,7 +189,7 @@ class PatchMerging(nn.Module):
         x2 = x[:, 0::2, 1::2]
         x3 = x[:, 1::2, 1::2]
         x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
-        x = nn.LayerNorm(epsilon=self.cfg.ln_eps, dtype=jnp.float32, name="ln")(x)
+        x = FusedLayerNorm(epsilon=self.cfg.ln_eps, name="ln")(x)
         return nn.Dense(2 * C, use_bias=False, dtype=self.cfg.compute_dtype,
                         name="reduction")(x)
 
@@ -197,7 +205,7 @@ class SwinBackbone(nn.Module):
         p = c.patch_size
         x = nn.Conv(c.embed_dim, (p, p), strides=(p, p), dtype=c.compute_dtype,
                     name="patch_embed")(x)
-        x = nn.LayerNorm(epsilon=c.ln_eps, dtype=jnp.float32, name="patch_norm")(x)
+        x = FusedLayerNorm(epsilon=c.ln_eps, name="patch_norm")(x)
 
         outs = []
         for stage, depth in enumerate(c.depths):
@@ -206,8 +214,7 @@ class SwinBackbone(nn.Module):
                 shift = 0 if b % 2 == 0 else c.window // 2
                 x = SwinBlock(c, dim, c.num_heads[stage], shift,
                               name=f"stage{stage}_block{b}")(x)
-            out = nn.LayerNorm(epsilon=c.ln_eps, dtype=jnp.float32,
-                               name=f"out_norm{stage}")(x)
+            out = FusedLayerNorm(epsilon=c.ln_eps, name=f"out_norm{stage}")(x)
             outs.append(out)
             if stage < len(c.depths) - 1:
                 x = PatchMerging(c, name=f"merge{stage}")(x)

@@ -20,6 +20,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 import jax
 
+from macaque_tpu.nn.layers import FusedLayerNorm
+
 
 @dataclass(frozen=True)
 class VitPoseConfig:
@@ -35,12 +37,36 @@ class VitPoseConfig:
     ln_eps: float = 1e-6
     compute_dtype: Any = jnp.float32
     use_pallas_attention: bool = False  # fused QKV->softmax->PV kernel
+    # "int8": weight + dynamic-activation int8 on the block Dense layers
+    # (nn/quant.py; pair with quantize_vitpose_params). None: bf16/f32.
+    quantize: Any = None
+    # tanh-approximated GELU: the erf<->tanh difference (~2e-4 relative)
+    # is below bf16 rounding noise, but exact erf keeps XLA's
+    # fc1+gelu+fc2 fusion on the VPU long enough to drop the block MLP
+    # from ~190 to ~136 TFLOP/s (profiled v5e). None = auto: tanh in
+    # bf16/int8 serving, exact erf in f32 (torch-parity tests).
+    gelu_approx: Any = None
+
+    @property
+    def _gelu_approx(self) -> bool:
+        if self.gelu_approx is not None:
+            return self.gelu_approx
+        return self.compute_dtype == jnp.bfloat16 or self.quantize == "int8"
 
     @property
     def grid(self) -> Tuple[int, int]:
         h = (self.img_size[0] + 2 * self.patch_padding - self.patch_size) // self.patch_size + 1
         w = (self.img_size[1] + 2 * self.patch_padding - self.patch_size) // self.patch_size + 1
         return h, w
+
+
+def _dense(cfg, features, name):
+    """Dense factory: int8 serving path or the standard bf16/f32 Dense."""
+    if cfg.quantize == "int8":
+        from macaque_tpu.nn.quant import Int8Dense
+
+        return Int8Dense(features, name=name)
+    return nn.Dense(features, dtype=cfg.compute_dtype, name=name)
 
 
 class Attention(nn.Module):
@@ -50,7 +76,7 @@ class Attention(nn.Module):
     def __call__(self, x):
         c = self.cfg
         B, N, D = x.shape
-        qkv = nn.Dense(3 * D, use_bias=True, dtype=c.compute_dtype, name="qkv")(x)
+        qkv = _dense(c, 3 * D, "qkv")(x)
 
         if c.use_pallas_attention:
             # packed-qkv kernel: consumes the Dense output layout directly
@@ -66,7 +92,7 @@ class Attention(nn.Module):
             out = jax.nn.dot_product_attention(
                 heads(q), heads(k), heads(v)
             ).reshape(B, N, D)
-        return nn.Dense(D, dtype=c.compute_dtype, name="proj")(out)
+        return _dense(c, D, "proj")(out)
 
 
 class Block(nn.Module):
@@ -75,12 +101,12 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = self.cfg
-        h = nn.LayerNorm(epsilon=c.ln_eps, dtype=jnp.float32, name="ln1")(x)
+        h = FusedLayerNorm(epsilon=c.ln_eps, name="ln1")(x)
         x = x + Attention(c, name="attn")(h)
-        h = nn.LayerNorm(epsilon=c.ln_eps, dtype=jnp.float32, name="ln2")(x)
-        h = nn.Dense(int(c.embed_dim * c.mlp_ratio), dtype=c.compute_dtype, name="fc1")(h)
-        h = nn.gelu(h, approximate=False)
-        h = nn.Dense(c.embed_dim, dtype=c.compute_dtype, name="fc2")(h)
+        h = FusedLayerNorm(epsilon=c.ln_eps, name="ln2")(x)
+        h = _dense(c, int(c.embed_dim * c.mlp_ratio), "fc1")(h)
+        h = nn.gelu(h, approximate=c._gelu_approx)
+        h = _dense(c, c.embed_dim, "fc2")(h)
         return x + h
 
 
@@ -109,7 +135,7 @@ class ViTBackbone(nn.Module):
         x = x + pos.astype(x.dtype)
         for i in range(c.depth):
             x = Block(c, name=f"block{i}")(x)
-        x = nn.LayerNorm(epsilon=c.ln_eps, dtype=jnp.float32, name="ln_final")(x)
+        x = FusedLayerNorm(epsilon=c.ln_eps, name="ln_final")(x)
         return x.reshape(B, h, w, D)
 
 
