@@ -21,6 +21,14 @@ class LMConfig(NamedTuple):
     cg_iters: int = 60
     ftol: float = 1e-3
     init_lambda: float = 1e-3
+    # truncated-CG forcing tolerance: stop the inner solve once
+    # |r| < cg_rtol * |g|. LM only needs an inexact Newton direction
+    # (the improved/lambda guard absorbs truncation error); most steps
+    # converge in far fewer than cg_iters sweeps, and each CG sweep is
+    # two full residual linearizations (jvp+vjp) — the dominant cost of
+    # the whole solve (profiled: step4 refinement was the largest
+    # pipeline-rest stage at fixed 60-iteration CG).
+    cg_rtol: float = 1e-2
 
 
 def lm_solve(resid_fn: Callable, x0: jnp.ndarray, cfg: LMConfig = LMConfig()):
@@ -43,18 +51,26 @@ def _lm_solve_impl(resid_fn: Callable, x0: jnp.ndarray, cfg: LMConfig):
         return jtjv + lam * v
 
     def cg(x, g, lam):
-        def body(_, state):
-            p, r, d = state
+        stop2 = (cfg.cg_rtol ** 2) * jnp.vdot(g, g)
+
+        def body(state):
+            p, r, d, k = state
             Ad = jtj_vec(x, d, lam)
             alpha = jnp.vdot(r, r) / jnp.maximum(jnp.vdot(d, Ad), 1e-30)
             p2 = p + alpha * d
             r2 = r - alpha * Ad
             beta = jnp.vdot(r2, r2) / jnp.maximum(jnp.vdot(r, r), 1e-30)
             d2 = r2 + beta * d
-            return (p2, r2, d2)
+            return (p2, r2, d2, k + 1)
+
+        def cond(state):
+            _, r, _, k = state
+            return (k < cfg.cg_iters) & (jnp.vdot(r, r) > stop2)
 
         p0 = jnp.zeros_like(g)
-        p, _, _ = jax.lax.fori_loop(0, cfg.cg_iters, body, (p0, -g, -g))
+        p, _, _, _ = jax.lax.while_loop(
+            cond, body, (p0, -g, -g, jnp.asarray(0))
+        )
         return p
 
     def lm_step(state):

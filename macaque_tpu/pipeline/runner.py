@@ -52,14 +52,23 @@ def run_pipeline(
     if render:
         from macaque_tpu.tools.visualize import render_overlay
 
-        cams = render_cams if render_cams is not None \
-            else range(rig.n_cam)
+        cams = list(render_cams if render_cams is not None
+                    else range(rig.n_cam))
         with timer.stage("render"):
-            for i_cam in cams:
-                render_overlay(
-                    config.data_name, i_cam, result_dir,
-                    config.raw_data_dir, rig, fps=config.fps,
-                )
+            # per-camera renders are independent and dominated by cv2
+            # drawing + video encode (GIL-releasing C calls), so threads
+            # overlap them; the reference renders cameras sequentially
+            # (run_demo.py:37-39)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(4, len(cams))) as ex:
+                list(ex.map(
+                    lambda i_cam: render_overlay(
+                        config.data_name, i_cam, result_dir,
+                        config.raw_data_dir, rig, fps=config.fps,
+                    ),
+                    cams,
+                ))
 
     timer.dump(os.path.join(result_dir, "run_manifest.json"))
     return result_dir

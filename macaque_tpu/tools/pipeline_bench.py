@@ -66,9 +66,15 @@ def run(n_frame: int = 120, n_cam: int = 4, render: bool = True,
         stages["step4_3d"] = time.time() - t0
         if render:
             t0 = time.time()
-            render_overlay("synth", 0, rd, raw, rig)
-            # one camera rendered; scale to all cameras like the reference
-            stages["render"] = (time.time() - t0) * n_cam
+            # all cameras, threaded like the production runner
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(4, n_cam)) as ex:
+                list(ex.map(
+                    lambda i: render_overlay("synth", i, rd, raw, rig),
+                    range(n_cam),
+                ))
+            stages["render"] = time.time() - t0
         return stages
 
     one_pass("warmup")          # compile everything once
