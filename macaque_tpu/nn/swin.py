@@ -108,7 +108,11 @@ class WindowAttention(nn.Module):
             attn = attn.reshape(B_, self.heads, N, N)
 
         attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B_, N, C)
+        # cast back to the compute dtype for the PV contraction: the bias
+        # add promoted attn to f32, and an f32 dot issues at 1/4 the bf16
+        # MXU rate
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(v.dtype), v)
+        out = out.reshape(B_, N, C)
         return nn.Dense(C, dtype=c.compute_dtype, name="proj")(out)
 
 
@@ -184,14 +188,48 @@ class PatchMerging(nn.Module):
     def __call__(self, x):
         B, H, W, C = x.shape
         x = jnp.pad(x, ((0, 0), (0, H % 2), (0, W % 2), (0, 0)))
-        x0 = x[:, 0::2, 0::2]
-        x1 = x[:, 1::2, 0::2]
-        x2 = x[:, 0::2, 1::2]
-        x3 = x[:, 1::2, 1::2]
-        x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+        Hp, Wp = x.shape[1], x.shape[2]
+        # channel order [(dy,dx)] = [(0,0),(1,0),(0,1),(1,1)] — identical
+        # to the reference concat of the four strided slices, but as one
+        # reshape/transpose (strided slices lower as gathers on TPU:
+        # ~4 ms/16-frame chunk profiled)
+        x = x.reshape(B, Hp // 2, 2, Wp // 2, 2, C)
+        x = x.transpose(0, 1, 3, 4, 2, 5)
+        x = x.reshape(B, Hp // 2, Wp // 2, 4 * C)
         x = FusedLayerNorm(epsilon=self.cfg.ln_eps, name="ln")(x)
         return nn.Dense(2 * C, use_bias=False, dtype=self.cfg.compute_dtype,
                         name="reduction")(x)
+
+
+class PatchEmbed(nn.Module):
+    """Stride-p patch embedding as space-to-depth + matmul.
+
+    Parameter tree is identical to ``nn.Conv(embed, (p, p), strides
+    (p, p))`` — {kernel (p, p, 3, embed), bias} — but XLA's conv with 3
+    input channels pads the channel dim and reorders the image layout
+    (~6.5 ms/16-frame chunk profiled at 800x608 on v5e); a reshape/
+    transpose into (p*p*3)-deep patches followed by one matmul is the
+    same contraction in MXU-native form."""
+
+    cfg: SwinConfig
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        p = c.patch_size
+        B, H, W, Cin = x.shape
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (p, p, Cin, c.embed_dim),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (c.embed_dim,))
+        patches = x.reshape(B, H // p, p, W // p, p, Cin)
+        patches = patches.transpose(0, 1, 3, 2, 4, 5)
+        patches = patches.reshape(B, H // p, W // p, p * p * Cin)
+        w = kernel.reshape(p * p * Cin, c.embed_dim)
+        y = patches.astype(c.compute_dtype) @ w.astype(c.compute_dtype)
+        return y + bias.astype(c.compute_dtype)
 
 
 class SwinBackbone(nn.Module):
@@ -202,9 +240,7 @@ class SwinBackbone(nn.Module):
         """x: (B, H, W, 3) normalized image -> 4 feature maps at strides
         4, 8, 16, 32."""
         c = self.cfg
-        p = c.patch_size
-        x = nn.Conv(c.embed_dim, (p, p), strides=(p, p), dtype=c.compute_dtype,
-                    name="patch_embed")(x)
+        x = PatchEmbed(c, name="patch_embed")(x)
         x = FusedLayerNorm(epsilon=c.ln_eps, name="patch_norm")(x)
 
         outs = []

@@ -237,17 +237,16 @@ def run_step1(
     chunk: int = 32,
     redo: bool = False,
     use_device_tracker: bool = False,
-    parallel_cameras: int = 4,
+    parallel_cameras: int = 1,
 ) -> list[str]:
     """All cameras for a recording (reference step1_proc2d_custom:389-447).
     Per-camera state (tracker, EMA) is fresh per camera.
 
-    Cameras run on a small thread pool (``parallel_cameras``): per-camera
-    work is independent, and the wall clock is dominated by GIL-releasing
-    C calls — video decode (profiled: ~half the step-1 host time) and the
-    device NN dispatch — so camera i+1's decode overlaps camera i's
-    inference. ``parallel_cameras=1`` restores the reference's sequential
-    loop (step1:424).
+    ``parallel_cameras`` > 1 runs cameras on a thread pool. Default is
+    the reference's sequential loop (step1:424): measured on the
+    synthetic bench the per-camera host work is GIL-heavy enough that
+    4 threads ran ~3x SLOWER (7.2 vs 2.2 s/480 camera-frames); the knob
+    exists for deployments where decode or device dispatch dominates.
     """
     import glob
     from concurrent.futures import ThreadPoolExecutor

@@ -78,8 +78,11 @@ def test_detect_batch_matches_single(perception):
     bb, sb, vb = det.apply(dv, imgs, method="detect_batch")
     for i in range(3):
         b1, s1, v1 = det.apply(dv, imgs[i : i + 1])
+        # box coords to float reduction-order noise (batched matmuls
+        # split reductions differently); 5e-4 px is far below any
+        # meaningful coordinate difference
         np.testing.assert_allclose(np.asarray(bb[i]), np.asarray(b1),
-                                   rtol=1e-5, atol=1e-4)
+                                   rtol=1e-5, atol=5e-4)
         np.testing.assert_allclose(np.asarray(sb[i]), np.asarray(s1),
                                    rtol=1e-5, atol=1e-5)
         np.testing.assert_array_equal(np.asarray(vb[i]), np.asarray(v1))
