@@ -32,6 +32,19 @@ def get_rtvec(M: np.ndarray):
     return rvec, M[:3, 3].copy()
 
 
+def compose_rtvecs(rvec1, tvec1, rvec2, tvec2, inv: bool = False):
+    """Compose two rvec/tvec extrinsics: ``M1 @ M2`` (``inv`` inverts M1
+    first). Reference ``multicam_toolbox.applytransform``
+    (src/utils/multicam_toolbox.py:922-940); returns (rvec (3,),
+    tvec (3, 1)) in the reference's column-vector layout."""
+    M1 = make_M(np.asarray(rvec1).ravel(), tvec1)
+    M2 = make_M(np.asarray(rvec2).ravel(), tvec2)
+    if inv:
+        M1 = np.linalg.pinv(M1)
+    rvec, tvec = get_rtvec(M1 @ M2)
+    return rvec.reshape(3), tvec.reshape(3, 1)
+
+
 def mean_transform(Ms: Sequence[np.ndarray], reject_sigma: float = 2.0):
     """Robust average of SE(3) transforms: mean rvec/tvec with one round
     of sigma-based outlier rejection (aniposelib utils:41-60 behaviour)."""

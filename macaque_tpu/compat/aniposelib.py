@@ -18,9 +18,164 @@ import numpy as np
 from macaque_tpu.cameras.rig import CameraRig
 
 
+class _CameraView:
+    """Per-camera accessor facade (reference ``Camera`` /
+    ``OmnidirCamera`` objects, cameras.py:173-555): reads and writes go
+    straight to the owning group's rig arrays."""
+
+    def __init__(self, group: "CameraGroup", i: int):
+        self._g = group
+        self._i = i
+
+    # identity / size
+    def get_name(self):
+        return self._g.rig.camera_ids[self._i]
+
+    def set_name(self, name):
+        ids = list(self._g.rig.camera_ids)
+        ids[self._i] = str(name)
+        self._g.rig.camera_ids = ids
+
+    def get_size(self):
+        return self._g.rig.size
+
+    def set_size(self, size):
+        self._g.rig.size = (int(size[0]), int(size[1]))
+
+    # intrinsics
+    def get_camera_matrix(self):
+        return np.array(self._g.rig.K[self._i], float)
+
+    def set_camera_matrix(self, K):
+        self._g.rig.K = np.asarray(self._g.rig.K, float).copy()
+        self._g.rig.K[self._i] = np.asarray(K, float)
+
+    def get_focal_length(self):
+        K = self._g.rig.K[self._i]
+        return float((K[0, 0] + K[1, 1]) / 2)
+
+    def set_focal_length(self, f):
+        self._g.rig.K = np.asarray(self._g.rig.K, float).copy()
+        self._g.rig.K[self._i][0, 0] = float(f)
+        self._g.rig.K[self._i][1, 1] = float(f)
+
+    def get_distortions(self):
+        return np.array(self._g.rig.D[self._i], float)
+
+    def set_distortions(self, D):
+        self._g.rig.D = np.asarray(self._g.rig.D, float).copy()
+        self._g.rig.D[self._i] = np.asarray(D, float).ravel()[:4]
+
+    def get_xi(self):
+        return float(np.asarray(self._g.rig.xi)[self._i])
+
+    def set_xi(self, xi):
+        self._g.rig.xi = np.asarray(self._g.rig.xi, float).copy()
+        self._g.rig.xi[self._i] = float(xi)
+
+    # extrinsics
+    def get_rotation(self):
+        return np.array(self._g.rig.rvec[self._i], float)
+
+    def set_rotation(self, rvec):
+        self._g.rig.rvec = np.asarray(self._g.rig.rvec, float).copy()
+        self._g.rig.rvec[self._i] = np.asarray(rvec, float).ravel()
+
+    def get_translation(self):
+        return np.array(self._g.rig.tvec[self._i], float)
+
+    def set_translation(self, tvec):
+        self._g.rig.tvec = np.asarray(self._g.rig.tvec, float).copy()
+        self._g.rig.tvec[self._i] = np.asarray(tvec, float).ravel()
+
+    def get_extrinsics_mat(self):
+        from macaque_tpu.calib.graph_init import make_M
+
+        return make_M(self.get_rotation(), self.get_translation())
+
+    # geometry
+    def project(self, points):
+        return self._g.subset_cameras([self._i]).project(points)[0]
+
+    def undistort_points(self, points):
+        """Raw pixels (N, 2) -> normalized image-plane coords (N, 2)
+        (reference OmnidirCamera.undistort_points, cameras.py:498)."""
+        import jax.numpy as jnp
+        from macaque_tpu.cameras.omnidir import omnidir_undistort
+
+        sub = self._g.rig.subset([self._i]).omni()
+        p = np.asarray(points, float).reshape(1, -1, 2)
+        return np.asarray(omnidir_undistort(sub, jnp.asarray(p)))[0]
+
+    def distort_points(self, points):
+        """Normalized image-plane coords (N, 2) -> raw pixels (N, 2)
+        (reference OmnidirCamera.distort_points, cameras.py:487):
+        lift to a ray and project through the full Mei model without
+        the extrinsic transform."""
+        import jax.numpy as jnp
+        from macaque_tpu.cameras.omnidir import OmnidirCamera, \
+            omnidir_project
+
+        sub = self._g.rig.subset([self._i])
+        p = np.asarray(points, float).reshape(-1, 2)
+        rays = np.concatenate([p, np.ones((len(p), 1))], axis=1)
+        ident = OmnidirCamera(
+            K=jnp.asarray(np.asarray(sub.K, float)),
+            xi=jnp.asarray(np.asarray(sub.xi, float)),
+            D=jnp.asarray(np.asarray(sub.D, float)),
+            rvec=jnp.zeros((1, 3)), tvec=jnp.zeros((1, 3)),
+        )
+        return np.asarray(omnidir_project(ident, jnp.asarray(rays)))[0]
+
+    def resize_camera(self, scale):
+        """Scale intrinsics for resized images (cameras.py:
+        resize_camera). The image size lives on the shared rig, so use
+        :meth:`CameraGroup.resize_cameras` to scale a whole group —
+        this method only rescales this camera's matrix."""
+        K = self.get_camera_matrix()
+        K[:2] *= scale
+        self.set_camera_matrix(K)
+
+    def copy(self):
+        return _CameraView(self._g.copy(), self._i)
+
+
 class CameraGroup:
     def __init__(self, rig: CameraRig):
         self.rig = rig
+
+    @property
+    def cameras(self):
+        """Per-camera accessor objects (reference CameraGroup.cameras)."""
+        return [_CameraView(self, i) for i in range(self.rig.n_cam)]
+
+    def copy(self) -> "CameraGroup":
+        import copy as _copy
+
+        return CameraGroup(_copy.deepcopy(self.rig))
+
+    def dump(self, path: str):
+        """Write an anipose-format calibration TOML (cameras.py:1998)."""
+        self.rig.to_calibration_toml(path)
+
+    def resize_cameras(self, scale):
+        for cam in self.cameras:
+            cam.resize_camera(scale)
+        if self.rig.size is not None:
+            self.rig.size = (int(self.rig.size[0] * scale),
+                             int(self.rig.size[1] * scale))
+
+    def get_rotations(self):
+        return np.asarray(self.rig.rvec, float).copy()
+
+    def set_rotations(self, rvecs):
+        self.rig.rvec = np.asarray(rvecs, float).reshape(-1, 3)
+
+    def get_translations(self):
+        return np.asarray(self.rig.tvec, float).copy()
+
+    def set_translations(self, tvecs):
+        self.rig.tvec = np.asarray(tvecs, float).reshape(-1, 3)
 
     # ------------------------------------------------------------- loading
 
@@ -123,7 +278,160 @@ class CameraGroup:
             reprojection_error(cam, jnp.asarray(p3ds), jnp.asarray(p2ds)))
         return out.reshape(-1, 2) if one_point else out
 
+    def average_error(self, p2ds, median: bool = False):
+        """Mean/median per-point reprojection error after triangulating
+        (reference cameras.py:1883-1890)."""
+        p3ds = self.triangulate(p2ds)
+        errors = self.reprojection_error(p3ds, p2ds, mean=True)
+        errors = errors[np.isfinite(errors)]
+        return float(np.median(errors) if median else np.mean(errors))
+
+    def triangulate_possible(self, points, undistort: bool = True,
+                             min_cams: int = 2, progress: bool = False,
+                             threshold: float = 0.5):
+        """(C, N, P, 2) candidate detections -> best-combination
+        triangulation per point (reference cameras.py:639-724): every
+        per-camera candidate choice (including skipping a camera) is
+        triangulated and the lowest-mean-reprojection combination below
+        the error ceiling wins. Candidate combinations for one point are
+        evaluated as ONE batched DLT instead of the reference's nested
+        Python loops. Returns (p3ds (N, 3), picked (C, N, P) bool,
+        points_2d (C, N, 2), errors (N,))."""
+        import itertools
+
+        points = np.asarray(points, float)
+        C, N, P, _ = points.shape
+        out = np.full((N, 3), np.nan)
+        picked_vals = np.zeros((C, N, P), bool)
+        errors = np.zeros(N)
+        points_2d = np.full((C, N, 2), np.nan)
+
+        for n in range(N):
+            opts = []
+            cams = []
+            for c in range(C):
+                cand = [p for p in range(P)
+                        if np.isfinite(points[c, n, p, 0])]
+                if cand:
+                    cams.append(c)
+                    opts.append(cand + [None])
+            if len(cams) < min_cams:
+                continue
+            combos = [cb for cb in itertools.product(*opts)
+                      if sum(x is not None for x in cb) >= min_cams]
+            if not combos:
+                continue
+            obs = np.full((C, len(combos), 2), np.nan)
+            for k, cb in enumerate(combos):
+                for c, p in zip(cams, cb):
+                    if p is not None:
+                        obs[c, k] = points[c, n, p]
+            p3 = self.triangulate(obs, undistort=undistort)
+            errs = self.reprojection_error(p3, obs, mean=True)
+            errs = np.where(np.isfinite(errs), errs, np.inf)
+            best = int(np.argmin(errs))
+            if errs[best] > 200:        # reference's best_error ceiling
+                continue
+            out[n] = p3[best]
+            errors[n] = errs[best]
+            points_2d[:, n] = obs[:, best]
+            for c, p in zip(cams, combos[best]):
+                if p is not None:
+                    picked_vals[c, n, p] = True
+        return out, picked_vals, points_2d, errors
+
     # -------------------------------------------------------- optimization
+
+    def bundle_adjust(self, p2ds, extra=None, loss="linear",
+                      threshold: float = 50, ftol: float = 1e-4,
+                      max_nfev: int = 1000, weights=None,
+                      start_params=None, verbose: bool = True):
+        """Fine-tune all camera parameters from (C, N, 2) observations
+        (reference cameras.py:894-946): triangulate with the current
+        calibration, then run the full 16-parameter-per-camera bundle
+        (JAX LM-CG, calib/bundle.py) and write the result back into the
+        group. Returns the post-optimization mean reprojection error."""
+        from macaque_tpu.calib.bundle import bundle_adjust_full
+        from macaque_tpu.geometry.lm import LMConfig
+
+        p2ds = np.asarray(p2ds, float)
+        p3d = self.triangulate(p2ds)
+        good = np.isfinite(p3d[:, 0])
+        if good.sum() < 8:
+            return self.average_error(p2ds)
+        rig = self.rig
+        K2, xi2, D2, rv, tv, _, rms = bundle_adjust_full(
+            np.asarray(rig.K, float), np.asarray(rig.xi, float),
+            np.asarray(rig.D, float), np.asarray(rig.rvec, float),
+            np.asarray(rig.tvec, float),
+            p2ds[:, good], np.nan_to_num(p3d[good]),
+            cfg=LMConfig(lm_iters=min(60, max(10, max_nfev // 10)),
+                         cg_iters=100, ftol=ftol),
+        )
+        rig.K, rig.xi, rig.D = K2, xi2, D2
+        rig.rvec, rig.tvec = rv, tv
+        if verbose:
+            print(f"bundle_adjust: rms {rms:.3f} px")
+        return self.average_error(p2ds)
+
+    def bundle_adjust_iter(self, p2ds, extra=None, n_iters: int = 10,
+                           start_mu: float = 15, end_mu: float = 1,
+                           max_nfev: int = 200, ftol: float = 1e-4,
+                           n_samp_iter: int = 100, n_samp_full: int = 1000,
+                           error_threshold: float = 0.3,
+                           verbose: bool = False):
+        """Iterative outlier-annealed bundle adjustment (reference
+        cameras.py:786-892, the Fast-Global-Registration-style loop):
+        each round resamples points, prunes those whose reprojection
+        error exceeds an exponentially decaying ceiling ``mu``, and
+        re-runs :meth:`bundle_adjust` on the survivors. Returns the
+        final median reprojection error."""
+        rng = np.random.default_rng(0)
+        p2ds_full = np.asarray(p2ds, float)
+
+        def resample(pts, n_samp):
+            n = pts.shape[1]
+            if n <= n_samp:
+                return pts
+            pick = rng.choice(n, size=n_samp, replace=False)
+            return pts[:, pick]
+
+        mus = np.exp(np.linspace(np.log(start_mu), np.log(end_mu),
+                                 num=n_iters))
+        error = None
+        for i in range(n_iters):
+            samp = resample(p2ds_full, n_samp_full)
+            p3ds = self.triangulate(samp)
+            errn = self.reprojection_error(p3ds, samp, mean=True)
+            finite = np.isfinite(errn)
+            if finite.sum() < 8:
+                break
+            # keep mu above the 10th error percentile so pruning never
+            # starves the solver (stands in for the reference's
+            # per-camera percentile clamp)
+            mu = max(mus[i], float(np.percentile(errn[finite], 10)))
+            good = finite & (errn < mu)
+            error = float(np.median(errn[finite]))
+            if verbose:
+                print(f"iter {i}: error {error:.2f}, mu {mu:.1f}, "
+                      f"kept {good.mean():.2f}")
+            if error < error_threshold:
+                break
+            self.bundle_adjust(resample(samp[:, good], n_samp_iter),
+                               loss="linear", ftol=ftol,
+                               max_nfev=max_nfev, verbose=verbose)
+
+        samp = resample(p2ds_full, n_samp_full)
+        p3ds = self.triangulate(samp)
+        errn = self.reprojection_error(p3ds, samp, mean=True)
+        finite = np.isfinite(errn)
+        good = finite & (errn < max(end_mu,
+                                    float(np.percentile(errn[finite], 10))))
+        if good.sum() >= 8:
+            self.bundle_adjust(samp[:, good], loss="linear", ftol=ftol,
+                               max_nfev=max(200, max_nfev),
+                               verbose=verbose)
+        return self.average_error(samp, median=True)
 
     def optim_points(self, points: np.ndarray, p3ds: np.ndarray,
                      constraints=(), constraints_weak=(),

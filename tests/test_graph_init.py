@@ -45,3 +45,22 @@ def test_disconnected_graph_raises():
     ]
     with pytest.raises(ValueError, match="disconnected"):
         initial_extrinsics_from_board_poses(board_poses)
+
+
+def test_compose_rtvecs_matches_matrix_product():
+    """compose_rtvecs == Rodrigues-matrix product (reference
+    multicam_toolbox.applytransform semantics, incl. inv)."""
+    import numpy as np
+    from macaque_tpu.calib.graph_init import compose_rtvecs, make_M
+
+    rng = np.random.default_rng(3)
+    r1, r2 = rng.normal(0, 0.6, (2, 3))
+    t1, t2 = rng.normal(0, 100, (2, 3))
+    for inv in (False, True):
+        rv, tv = compose_rtvecs(r1, t1, r2, t2, inv=inv)
+        M1 = make_M(r1, t1)
+        if inv:
+            M1 = np.linalg.inv(M1)
+        want = M1 @ make_M(r2, t2)
+        got = make_M(rv, tv.ravel())
+        np.testing.assert_allclose(got, want, atol=1e-6)
