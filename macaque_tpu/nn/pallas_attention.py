@@ -135,13 +135,14 @@ def _attn_kernel_packed(qkv_ref, o_ref, *, heads: int, head_dim: int,
 
 @partial(jax.jit, static_argnames=("heads", "interpret"))
 def fused_attention_packed(qkv, heads: int, interpret: bool = False,
-                           block: int = 2):
+                           block: int = 8):
     """Attention directly on the packed qkv activation (B, N, 3C) — the
     layout the qkv Dense produces — writing (B, N, C) for the output
     projection. No HBM layout changes: head slicing happens in VMEM.
     ``block`` sequences are processed per grid step so the input DMA
-    pipelines deeply; 2 keeps ViT-huge crop shapes inside the 16 MB
-    scoped-VMEM limit (4 overflows it by the f32 softmax scratch).
+    pipelines deeply (the kernel is transfer-bound at block=1; measured
+    v5e ViT-huge pose chunk: 216 ms at block 2, 196 at 8, 200 at 16);
+    the compiler's default 16 MB scoped-VMEM budget is raised to fit.
     """
     B, N, C3 = qkv.shape
     C = C3 // 3
@@ -160,6 +161,8 @@ def fused_attention_packed(qkv, heads: int, interpret: bool = False,
         out_specs=pl.BlockSpec(
             (G, N, C), lambda i: (i, 0, 0),
             memory_space=pl.ANY if interpret else pltpu.VMEM),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(qkv)
     return out

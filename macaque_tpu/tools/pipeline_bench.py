@@ -80,6 +80,20 @@ def run(n_frame: int = 120, n_cam: int = 4, render: bool = True,
     one_pass("warmup")          # compile everything once
     stages = one_pass("timed")  # measured pass, fresh artifact dirs
 
+    # context for the stage timings: each host<->device round trip costs
+    # this much on the current backend (on a remote-tunneled device this
+    # dominates the tiny per-stage programs of steps 2-4; on a local TPU
+    # host it is microseconds)
+    import jax
+    import jax.numpy as jnp
+
+    fetch = jax.jit(lambda x: x + 1.0)
+    float(fetch(jnp.float32(0)))
+    t0 = time.time()
+    for i in range(3):
+        float(fetch(jnp.float32(i)))
+    null_fetch_s = (time.time() - t0) / 3
+
     n_cf = n_cam * n_frame
     total = sum(stages.values())
     out = {
@@ -88,6 +102,7 @@ def run(n_frame: int = 120, n_cam: int = 4, render: bool = True,
         "pipeline_rest_s": round(total, 3),
         "pipeline_rest_s_per_cf": round(total / n_cf, 5),
         "pipeline_cf_s": round(n_cf / total, 2),
+        "device_round_trip_s": round(null_fetch_s, 3),
     }
     if root is None:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -55,12 +55,16 @@ def build_flax_perception(weights_dir: str):
     from macaque_tpu.nn.swin import SwinConfig
 
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    # MACAQUE_TPU_INT8=1: int8 serving path for the ViT pose blocks
+    # (nn/quant.py; pose stage 204 -> 157 ms/chunk measured on v5e)
+    int8 = os.environ.get("MACAQUE_TPU_INT8", "0") == "1"
     det = SwinMaskRCNN(DetectorConfig(
         swin=SwinConfig(compute_dtype=dtype), compute_dtype=dtype))
     pose = ViTPose(VitPoseConfig(
         compute_dtype=dtype,
-        # packed-qkv pallas attention: 8% faster ViT-huge applies on TPU
+        # packed-qkv pallas attention (bf16 dots, blocked crops)
         use_pallas_attention=(jax.default_backend() == "tpu"),
+        quantize="int8" if int8 else None,
     ))
     idm = ResNetClassifier(ResNetConfig(compute_dtype=dtype))
 
@@ -70,6 +74,10 @@ def build_flax_perception(weights_dir: str):
     pose_vars = jax.tree.map(jnp.asarray, convert_vitpose(
         load_torch_checkpoint(os.path.join(weights_dir, "pose/pose.pth"))
     ))
+    if int8:
+        from macaque_tpu.nn.quant import quantize_vitpose_params
+
+        pose_vars = quantize_vitpose_params(pose_vars)
     id_vars = jax.tree.map(jnp.asarray, convert_resnet(
         load_torch_checkpoint(os.path.join(weights_dir, "id/id_finetuned.pth"))
     ))

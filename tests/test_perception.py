@@ -86,3 +86,41 @@ def test_detect_batch_matches_single(perception):
         np.testing.assert_allclose(np.asarray(sb[i]), np.asarray(s1),
                                    rtol=1e-5, atol=1e-5)
         np.testing.assert_array_equal(np.asarray(vb[i]), np.asarray(v1))
+
+
+def test_perception_int8_pose_path():
+    """FlaxPerception with the int8-quantized pose model (the
+    MACAQUE_TPU_INT8 serving toggle in run_demo.build_flax_perception)
+    produces finite keypoints with the same output contract."""
+    from macaque_tpu.nn.quant import quantize_vitpose_params
+
+    det_cfg = DetectorConfig(
+        swin=SwinConfig(embed_dim=16, depths=(1, 1, 1, 1),
+                        num_heads=(1, 2, 4, 8)),
+        rpn_nms_pre=64, rpn_max=64, rcnn_max=8,
+    )
+    det = SwinMaskRCNN(det_cfg)
+    pose_cfg = VitPoseConfig(img_size=(64, 48), embed_dim=32, depth=1,
+                             num_heads=2, deconv_channels=(8, 8))
+    pose = ViTPose(pose_cfg)
+    q_pose = ViTPose(VitPoseConfig(img_size=(64, 48), embed_dim=32,
+                                   depth=1, num_heads=2,
+                                   deconv_channels=(8, 8),
+                                   quantize="int8"))
+    idm = ResNetClassifier(TinyResNetConfig())
+
+    rng = jax.random.PRNGKey(0)
+    det_vars = det.init(rng, jnp.zeros((1, 128, 96, 3)))
+    pose_vars = pose.init(rng, jnp.zeros((1, 64, 48, 3)))
+    id_vars = idm.init(rng, jnp.zeros((1, 224, 224, 3)))
+    p = FlaxPerception(det, det_vars, q_pose,
+                       quantize_vitpose_params(pose_vars), idm, id_vars,
+                       max_det=4)
+
+    rng_np = np.random.default_rng(1)
+    frames = rng_np.integers(0, 255, (2, 130, 100, 3), dtype=np.uint8)
+    tb = np.tile(np.array([10.0, 10, 60, 90]), (2, 4, 1))
+    valid = np.ones((2, 4), bool)
+    kps = p.pose(frames, tb, valid)
+    assert kps.shape == (2, 4, 17, 3)
+    assert np.isfinite(np.asarray(kps)).all()
