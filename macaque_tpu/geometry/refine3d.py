@@ -22,6 +22,9 @@ entire refinement runs on-device with static shapes.
 
 from __future__ import annotations
 
+import functools
+
+import numpy as np
 from functools import partial
 from typing import NamedTuple, Optional
 
@@ -349,10 +352,40 @@ def refine_points_3d_batch(
 
     p2ds: (A, C, F, J, 2); p3ds_init: (A, F, J, 3).
     Returns (p3ds (A, F, J, 3), joint_lengths (A, Kc+Kw)).
-    """
-    def one(p2, p3):
-        return refine_points_3d(
-            cam, p2, p3, constraints, constraints_weak, cfg, joint_lengths,
-        )
 
-    return jax.vmap(one)(p2ds, p3ds_init)
+    The whole vmapped solve runs under ONE jit (cached per config): an
+    eager outer vmap executes primitive-by-primitive, which costs a
+    host<->device round trip per op on a remote-tunneled device.
+    """
+    constraints = tuple(map(tuple, np.asarray(
+        constraints, dtype=np.int64).reshape(-1, 2).tolist()))
+    constraints_weak = tuple(map(tuple, np.asarray(
+        constraints_weak, dtype=np.int64).reshape(-1, 2).tolist()))
+    fixed = joint_lengths is not None
+    fn = _batched_refine(constraints, constraints_weak, cfg, fixed)
+    if fixed:
+        return fn(cam, p2ds, p3ds_init, jnp.asarray(joint_lengths))
+    return fn(cam, p2ds, p3ds_init)
+
+
+@functools.lru_cache(maxsize=None)
+def _batched_refine(constraints, constraints_weak, cfg, fixed):
+    if fixed:
+        def run(cam, p2ds, p3ds_init, joint_lengths):
+            def one(p2, p3):
+                return refine_points_3d(
+                    cam, p2, p3, constraints, constraints_weak, cfg,
+                    joint_lengths,
+                )
+
+            return jax.vmap(one)(p2ds, p3ds_init)
+    else:
+        def run(cam, p2ds, p3ds_init):
+            def one(p2, p3):
+                return refine_points_3d(
+                    cam, p2, p3, constraints, constraints_weak, cfg, None,
+                )
+
+            return jax.vmap(one)(p2ds, p3ds_init)
+
+    return jax.jit(run)

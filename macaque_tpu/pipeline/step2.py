@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import itertools
 import os
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -88,6 +89,16 @@ def _extract_clusters(match_mat: np.ndarray, valid: np.ndarray):
     return [np.asarray(c) for c in clusters]
 
 
+@jax.jit
+def _affinity_program(cam, cam_idx, pose, valid, cids, alpha_id):
+    per_det_cam = cam.__class__(*[f[cam_idx] for f in cam])
+    und = omnidir_undistort(per_det_cam, pose[..., :2])
+    scores = jnp.nan_to_num(pose[..., 2])
+    geo = geometry_affinity(cam, jnp.nan_to_num(und), scores, cam_idx,
+                            valid)
+    return combined_affinity(geo, cids, cam_idx, alpha_id)
+
+
 def run_step2(
     result_dir: str,
     rig: CameraRig,
@@ -128,14 +139,11 @@ def run_step2(
     valid = jnp.asarray(packed["valid"])
 
     # ---- device: undistort + affinity + SVT over all keyframes at once
-    und = omnidir_undistort(
-        cam.__class__(*[f[packed["cam_idx"]] for f in cam]),
-        pose[..., :2],
-    )
-    scores = jnp.nan_to_num(pose[..., 2])
-    geo = geometry_affinity(cam, jnp.nan_to_num(und), scores, cam_idx, valid)
-    W = combined_affinity(geo, jnp.asarray(packed["cids"]), cam_idx,
-                          cfg.alpha_id)
+    # (one jitted program — eager execution would dispatch every
+    # primitive through a separate host<->device round trip)
+    W = _affinity_program(cam, cam_idx, pose, valid,
+                          jnp.asarray(packed["cids"]),
+                          jnp.float32(cfg.alpha_id))
     same_cam = packed["cam_idx"][:, None] == packed["cam_idx"][None, :]
     match = np.asarray(match_svt(
         W, jnp.asarray(same_cam),

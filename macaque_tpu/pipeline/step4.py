@@ -34,6 +34,34 @@ from macaque_tpu.geometry.refine3d import (
     refine_points_3d_batch, RefineConfig,
 )
 from macaque_tpu.geometry.triangulate import triangulate_dlt
+
+
+# Cached jitted device programs. Stage 4's device calls used to run as
+# eager vmaps — every primitive dispatched separately, which costs a
+# full host<->device round trip each on a remote-tunneled TPU (~31 ms
+# measured; the Viterbi filter alone burned ~1.7 s that way while the
+# same computation under jit runs in ~1 ms).
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _viterbi_batched(n_back, offset_threshold, score_threshold):
+    import jax
+
+    return jax.jit(jax.vmap(
+        lambda p, s: viterbi_filter_joints(
+            p, s, n_back, offset_threshold, score_threshold,
+        )
+    ))
+
+
+@jax.jit
+def _undistort_dlt(cam, flat_ca):
+    und = omnidir_undistort(cam, flat_ca)
+    undT = jnp.swapaxes(und, 0, 1)               # (N, C, 2)
+    mask = ~jnp.isnan(undT[..., 0])
+    mask = mask & ~jnp.isnan(jnp.swapaxes(flat_ca, 0, 1)[..., 0])
+    return triangulate_dlt(jnp.nan_to_num(undT), cam.pmat, mask)
 from macaque_tpu.geometry.ransac import triangulate_ransac
 from macaque_tpu.pipeline.artifacts import read_pickle, write_pickle, stage_done
 from macaque_tpu.pipeline.geometry3d import reproject_poses
@@ -112,12 +140,9 @@ def run_step4(
     scs_b = jnp.asarray(
         scs.transpose(0, 2, 1, 3).reshape(-1, n_frame, n_kp, 1)
     )
-    vf = jax.vmap(
-        lambda p, s: viterbi_filter_joints(
-            p, s, filter_cfg.n_back, filter_cfg.offset_threshold,
-            filter_cfg.score_threshold,
-        )
-    )
+    vf = _viterbi_batched(filter_cfg.n_back,
+                          filter_cfg.offset_threshold,
+                          filter_cfg.score_threshold)
     f_pts, f_scs = vf(pts_b, scs_b)
     f_pts = np.asarray(f_pts).reshape(n_animal, n_cam, n_frame, n_kp, 2)
     f_scs = np.asarray(f_scs).reshape(n_animal, n_cam, n_frame, n_kp)
@@ -161,11 +186,7 @@ def run_step4(
     if tri_cfg.ransac:
         p3d_init_all, _, _, _ = triangulate_ransac(cam, flat_ca)
     else:
-        und = omnidir_undistort(cam, flat_ca)
-        undT = jnp.swapaxes(und, 0, 1)           # (A*T*J, C, 2)
-        mask = ~jnp.isnan(undT[..., 0])
-        mask = mask & ~jnp.isnan(jnp.swapaxes(flat_ca, 0, 1)[..., 0])
-        p3d_init_all = triangulate_dlt(jnp.nan_to_num(undT), cam.pmat, mask)
+        p3d_init_all = _undistort_dlt(cam, flat_ca)
     p3d_init_all = np.asarray(p3d_init_all).reshape(
         n_animal, n_frame, n_kp, 3)
 
