@@ -40,3 +40,23 @@ def test_run_pipeline_manifest_and_render(tmp_path):
     assert set(manifest) >= {"step1_2d", "step2_crossview",
                              "step3_crossframe", "step4_3d", "render"}
     assert all(v["total_s"] >= 0 for v in manifest.values())
+
+
+def test_demo_entry_signatures_match_reference():
+    """run_demo.proc / run_demo_2.proc keep the reference-compatible
+    signature (reference run_demo.py:21-39): callers of the original
+    orchestrators can switch without edits."""
+    import importlib.util
+    import inspect
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    want = ["data_name", "fps", "results_dir_root", "device_str",
+            "config_path", "raw_data_dir", "n_kp"]
+    for name in ("run_demo", "run_demo_2"):
+        spec = importlib.util.spec_from_file_location(
+            name, os.path.join(root, f"{name}.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        params = list(inspect.signature(mod.proc).parameters)
+        assert params[:len(want)] == want, (name, params)
