@@ -50,6 +50,17 @@ def main(argv=None):
     sp.add_argument("--out", default="./plots")
     sp.add_argument("--fps", type=float, default=24.0)
 
+    sp = sub.add_parser(
+        "pose2d", help="2D-only detect+pose skeleton overlay on a plain "
+        "video (reference run_2D notebook)")
+    sp.add_argument("video")
+    sp.add_argument("--out", default="pose2d.mp4")
+    sp.add_argument("--weights", default=None,
+                    help="converted weights dir (default "
+                    "$MACAQUE_TPU_WEIGHTS)")
+    sp.add_argument("--det-thr", type=float, default=0.85)
+    sp.add_argument("--max-frames", type=int, default=None)
+
     sp = sub.add_parser("convert-weights")
     sp.add_argument("--weights", default="./model",
                     help="dir with detection/pose/id .pth checkpoints")
@@ -165,6 +176,20 @@ def main(argv=None):
 
         for p in plot_all(args.kp3d_pickle, args.out, args.fps):
             print(f"wrote {p}")
+    elif args.cmd == "pose2d":
+        import os
+
+        from macaque_tpu.tools.run2d import render_2d_video
+
+        weights = args.weights or os.environ.get("MACAQUE_TPU_WEIGHTS",
+                                                 "./model")
+        import run_demo as _demo
+
+        perception = _demo.build_flax_perception(weights)
+        out = render_2d_video(args.video, args.out, perception,
+                              det_thr=args.det_thr,
+                              max_frames=args.max_frames)
+        print(out)
     elif args.cmd == "sweep":
         from macaque_tpu.tools.sweep import rank_sweep, run_synthetic_sweep
 
