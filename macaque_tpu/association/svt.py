@@ -36,7 +36,48 @@ def project_simplex(y: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(needs[..., None], proj, y)
 
 
-@partial(jax.jit, static_argnames=("max_iter", "pselect", "dual_stochastic"))
+def proj_2dpam(Y: jnp.ndarray, tol: float = 1e-2, iters: int = 10,
+               denom: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Alternating row/column simplex projection toward a doubly-
+    stochastic matrix — the reference's ``myproj2dpam`` (step2:110-126),
+    batched over leading axes. Mirrors the reference exactly, including
+    the early-break-returns-PREVIOUS-iterate quirk: when
+    ``|X2 - X| / size < tol`` the pre-update ``X`` is kept.
+
+    ``denom`` overrides the convergence normalizer (the number of REAL
+    entries per matrix) for zero-padded blocks; zero padding is exactly
+    neutral for the projection itself (appended zeros never change a
+    simplex projection), only the tolerance normalization sees it.
+    """
+    R, C = Y.shape[-2], Y.shape[-1]
+    if denom is None:
+        denom = jnp.asarray(float(R * C))
+
+    def colproj(M):
+        return jnp.swapaxes(
+            project_simplex(jnp.swapaxes(M, -1, -2)), -1, -2)
+
+    def body(_, state):
+        X, I2, done = state
+        X1 = project_simplex(X + I2)
+        I1 = X1 - (X + I2)
+        X2 = colproj(X + I1)
+        I2n = X2 - (X + I1)
+        conv = jnp.abs(X2 - X).sum(axis=(-1, -2)) / \
+            jnp.maximum(denom, 1.0) < tol
+        keep = (done | conv)[..., None, None]
+        Xn = jnp.where(keep, X, X2)
+        I2n = jnp.where(done[..., None, None], I2, I2n)
+        return Xn, I2n, done | conv
+
+    done0 = jnp.zeros(Y.shape[:-2], bool)
+    X, _, _ = jax.lax.fori_loop(
+        0, iters, body, (Y, jnp.zeros_like(Y), done0))
+    return X
+
+
+@partial(jax.jit, static_argnames=("max_iter", "pselect", "dual_stochastic",
+                                   "block_size"))
 def match_svt(
     S: jnp.ndarray,
     same_block: jnp.ndarray,
@@ -48,6 +89,7 @@ def match_svt(
     pselect: int = 1,
     dual_stochastic: bool = False,
     valid: jnp.ndarray | None = None,
+    block_size: int | None = None,
 ):
     """Solve batched SVT matching.
 
@@ -99,12 +141,33 @@ def match_svt(
         X = jnp.where(pair_valid, X, 0.0)
         X = jnp.clip(X, 0.0, 1.0)
         if dual_stochastic:
-            # row/column simplex projection within cross-camera blocks is
-            # approximated by full-matrix alternating projection (the
-            # pipeline runs with dual_stochastic_SVT=False; this branch is
-            # provided for API completeness)
-            X = project_simplex(X)
-            X = jnp.swapaxes(project_simplex(jnp.swapaxes(X, -1, -2)), -1, -2)
+            # the reference projects every (cam_i, cam_j) block toward
+            # doubly-stochastic via myproj2dpam (step2:180-186); in the
+            # padded camera-major layout all blocks are (block_size,
+            # block_size), so the block sweep is one reshape + a batched
+            # proj_2dpam. Zero padding is projection-neutral; the
+            # convergence normalizer uses REAL per-camera counts.
+            if block_size is None:
+                raise ValueError(
+                    "dual_stochastic=True needs block_size (detections "
+                    "per camera in the padded slot layout)")
+            nc = N // block_size
+            lead = X.shape[:-2]
+            Xb = X.reshape(*lead, nc, block_size, nc, block_size)
+            Xb = jnp.moveaxis(Xb, -3, -2)  # (..., nc, nc, bs, bs)
+            if valid is None:
+                denom = jnp.asarray(float(block_size * block_size))
+            else:
+                counts = valid.reshape(*lead, nc, block_size) \
+                    .sum(axis=-1).astype(X.dtype)
+                denom = counts[..., :, None] * counts[..., None, :]
+            Xb = proj_2dpam(Xb, tol=1e-2, denom=denom)
+            Xb = jnp.moveaxis(Xb, -2, -3)
+            X = Xb.reshape(*lead, N, N)
+            X = jnp.where(same_block, 0.0, X)
+            if pselect == 1:
+                X = jnp.where(diag_mask, 1.0, X)
+            X = jnp.where(pair_valid, X, 0.0)
         X = (X + jnp.swapaxes(X, -1, -2)) / 2
         Y = Y + muM * (X - Q)
 

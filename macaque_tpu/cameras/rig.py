@@ -154,6 +154,41 @@ class CameraRig:
             size=size,
         )
 
+    def to_h5(self, config_dir: str) -> str:
+        """Write the reference's calibration triple into ``config_dir``:
+        ``config.yaml`` + ``cam_intrinsic.h5`` (``/<id>/{K,xi,D,mtx,dist}``)
+        + ``cam_extrinsic_optim.h5`` (``/<id>/{rvec,tvec}``), with the
+        OpenCV-compatible array shapes the reference reads back
+        (step2:35-75, mct:393-431). Returns the config.yaml path."""
+        import h5py
+        import yaml
+
+        os.makedirs(config_dir, exist_ok=True)
+        cfg_path = os.path.join(config_dir, "config.yaml")
+        cfg: dict = {"camera_id": [str(c) for c in self.camera_ids]}
+        if self.size is not None:
+            cfg["img_size"] = [int(self.size[0]), int(self.size[1])]
+        with open(cfg_path, "w") as f:
+            yaml.safe_dump(cfg, f)
+
+        with h5py.File(os.path.join(config_dir, "cam_intrinsic.h5"), "w") as f:
+            for i, cid in enumerate(self.camera_ids):
+                g = f.create_group(str(cid))
+                g["K"] = self.K[i].astype(np.float64)
+                g["xi"] = np.array([[float(self.xi[i])]])
+                g["D"] = self.D[i].astype(np.float64).reshape(1, -1)
+                if self.mtx is not None:
+                    g["mtx"] = self.mtx[i].astype(np.float64)
+                    g["dist"] = self.dist[i].astype(np.float64).reshape(1, -1)
+        with h5py.File(
+            os.path.join(config_dir, "cam_extrinsic_optim.h5"), "w"
+        ) as f:
+            for i, cid in enumerate(self.camera_ids):
+                g = f.create_group(str(cid))
+                g["rvec"] = self.rvec[i].astype(np.float64).reshape(3, 1)
+                g["tvec"] = self.tvec[i].astype(np.float64).reshape(3, 1)
+        return cfg_path
+
     @staticmethod
     def from_calibration_toml(path: str) -> "CameraRig":
         """Load an anipose-format ``calibration.toml``

@@ -73,6 +73,60 @@ def pack_keyframes(
     }
 
 
+def batched_best_combs(candidates, combo_tensor, cam_of, cam, n_cam,
+                       mesh=None):
+    """Batched get_best_comb (reference step2:610-646).
+
+    For each ``(ti, person_slots)`` candidate, enumerate
+    one-detection-per-camera combos, triangulate + reprojection-score ALL
+    combos of ALL candidates in one device call, and return the
+    argmin-RMSE slot list per candidate. ``combo_tensor(ti, slots)``
+    materializes the padded (n_cam, J, 3) keypoint tensor for a combo.
+    Handles any number of same-camera detections per candidate (the
+    collision case the leftover-remnant pass must survive)."""
+    combo_kp, combo_meta = [], []  # meta: (candidate_idx, combo)
+    for ci, (ti, person) in enumerate(candidates):
+        cam_groups = [
+            [s for s in person if cam_of[s] == c] or [None]
+            for c in range(n_cam)
+        ]
+        combos = list(itertools.product(*cam_groups))
+        if len(combos) > 1:
+            for combo in combos:
+                slots = [s for s in combo if s is not None]
+                combo_kp.append(combo_tensor(ti, slots))
+                combo_meta.append((ci, combo))
+    if combo_kp:
+        from macaque_tpu.core.mesh import put_batch_sharded
+
+        kp_all, n_combo = put_batch_sharded(np.stack(combo_kp), mesh)
+        p3d_all = triangulate_poses(cam, kp_all)  # (NC, J, 3)
+        use_cam, _ = put_batch_sharded(np.stack(
+            [(~np.isnan(k[:, :, 0])).any(axis=1) for k in combo_kp]
+        ), mesh)
+        rmse_all = np.asarray(
+            reprojection_rmse(cam, p3d_all, kp_all, use_cam)
+        )[:n_combo]
+        rmse_all = np.where(
+            np.asarray(use_cam)[:n_combo].any(axis=1), rmse_all, np.inf
+        )
+    else:
+        rmse_all = np.zeros((0,))
+    lookup: dict[int, list] = {}
+    for gi, (ci, combo) in enumerate(combo_meta):
+        lookup.setdefault(ci, []).append((gi, combo))
+    out = []
+    for ci, (ti, person) in enumerate(candidates):
+        entries = lookup.get(ci, [])
+        if not entries:  # single combo: the person IS the combo
+            out.append(list(person))
+        else:
+            errs = [rmse_all[gi] for gi, _ in entries]
+            _, combo_best = entries[int(np.argmin(errs))]
+            out.append([s for s in combo_best if s is not None])
+    return out
+
+
 def _extract_clusters(match_mat: np.ndarray, valid: np.ndarray):
     """Reference cluster extraction (step2:597-607): columns with >= 2
     members, each row joins its argmax column's cluster."""
@@ -105,6 +159,7 @@ def run_step2(
     cfg: CrossViewConfig = CrossViewConfig(),
     max_det: int = 6,
     redo: bool = False,
+    mesh=None,
 ) -> str:
     out_path = os.path.join(result_dir, "match_keyframe.pickle")
     if stage_done(out_path) and not redo:
@@ -133,33 +188,32 @@ def run_step2(
 
     packed = pack_keyframes(alldata, cid2d, keyframes, n_cam, max_det,
                             cfg.n_joint)
-    cam = rig.omni()
-    cam_idx = jnp.asarray(packed["cam_idx"])
-    pose = jnp.asarray(packed["pose"])
-    valid = jnp.asarray(packed["valid"])
+    from macaque_tpu.core.mesh import put_batch_sharded, put_replicated
+
+    cam = put_replicated(rig.omni(), mesh)
+    cam_idx = put_replicated(jnp.asarray(packed["cam_idx"]), mesh)
+    # keyframes are independent -> shard the keyframe axis over the mesh
+    pose, n_kf = put_batch_sharded(packed["pose"], mesh)
+    valid, _ = put_batch_sharded(packed["valid"], mesh)
+    cids, _ = put_batch_sharded(packed["cids"], mesh)
 
     # ---- device: undistort + affinity + SVT over all keyframes at once
     # (one jitted program — eager execution would dispatch every
     # primitive through a separate host<->device round trip)
-    W = _affinity_program(cam, cam_idx, pose, valid,
-                          jnp.asarray(packed["cids"]),
+    W = _affinity_program(cam, cam_idx, pose, valid, cids,
                           jnp.float32(cfg.alpha_id))
     same_cam = packed["cam_idx"][:, None] == packed["cam_idx"][None, :]
     match = np.asarray(match_svt(
-        W, jnp.asarray(same_cam),
+        W, put_replicated(jnp.asarray(same_cam), mesh),
         alpha=cfg.alpha_svt, _lambda=cfg.lambda_svt,
         dual_stochastic=cfg.dual_stochastic_svt, valid=valid,
-    ))
+        block_size=max_det,
+    ))[:n_kf]
 
     # ---- host: clusters + combo enumeration; combos triangulate batched
     valid_np = packed["valid"]
     pose_np = packed["pose"]
     cam_of = packed["cam_idx"]
-
-    all_combos = []          # (ti, person_slot_list) per candidate combo
-    combo_kp = []            # (C, J, 3) padded keypoints per combo
-    combo_meta = []          # (ti, person_idx, which_combo)
-    persons_per_kf = []
 
     def combo_tensor(ti, slots):
         kp = np.zeros((n_cam, cfg.n_joint, 3))
@@ -167,68 +221,45 @@ def run_step2(
             kp[cam_of[s]] = pose_np[ti, s]
         return kp
 
+    def best_combs(candidates):
+        return batched_best_combs(candidates, combo_tensor, cam_of, cam,
+                                  n_cam, mesh=mesh)
+
+    parents = []  # (ti, person_slots) in keyframe-then-cluster order
     for ti in range(len(keyframes)):
-        clusters = _extract_clusters(match[ti], valid_np[ti])
-        persons = []
-        for person in clusters:
-            cam_groups = [
-                [s for s in person if cam_of[s] == c] or [None]
-                for c in range(n_cam)
-            ]
-            combos = list(itertools.product(*cam_groups))
-            persons.append((person, combos))
-            for combo in combos:
-                slots = [s for s in combo if s is not None]
-                combo_kp.append(combo_tensor(ti, slots))
-                combo_meta.append((ti, len(persons) - 1, combo))
-        persons_per_kf.append(persons)
+        for person in _extract_clusters(match[ti], valid_np[ti]):
+            parents.append((ti, list(person)))
 
-    if combo_kp:
-        kp_all = jnp.asarray(np.stack(combo_kp))  # (NC, C, J, 3)
-        p3d_all = triangulate_poses(cam, kp_all)  # (NC, J, 3)
-        use_cam = jnp.asarray(
-            np.stack([(~np.isnan(k[:, :, 0])).any(axis=1) for k in combo_kp])
-        )
-        rmse_all = np.asarray(reprojection_rmse(cam, p3d_all, kp_all, use_cam))
-        rmse_all = np.where(
-            np.asarray(use_cam).any(axis=1), rmse_all, np.inf
-        )
-        p3d_all = np.asarray(p3d_all)
-    else:
-        rmse_all = np.zeros((0,))
-        p3d_all = np.zeros((0, cfg.n_joint, 3))
+    parent_best = best_combs(parents)
 
-    # group combo scores back per (keyframe, person)
-    combo_lookup: dict = {}
-    for gi, (ti, pi, combo) in enumerate(combo_meta):
-        combo_lookup.setdefault((ti, pi), []).append((gi, combo))
+    # leftover remnants get ONE extra best-comb pass of their own
+    # (reference step2:649-656: refined.append(get_best_comb(leftover))
+    # right after the parent; leftovers-of-leftovers are dropped)
+    remnants, remnant_of = [], []
+    for ci, ((ti, person), best) in enumerate(zip(parents, parent_best)):
+        leftover = sorted(set(person) - set(best))
+        if len(leftover) > 1:
+            remnants.append((ti, leftover))
+            remnant_of.append(ci)
+    remnant_best = best_combs(remnants) if remnants else []
+    extra_by_parent = dict(zip(remnant_of, remnant_best))
 
-    # resolve best combos per person, then one batched final triangulation
+    # assemble in reference order (parent, then its remnant); persons with
+    # < 2 views are dropped at the final stage (step2:698-700)
     finals = []  # (ti, slots)
-    for ti in range(len(keyframes)):
-        for pi, (person, combos) in enumerate(persons_per_kf[ti]):
-            entries = combo_lookup.get((ti, pi), [])
-            if len(entries) == 1:
-                best_slots = list(person)
-            else:
-                errs = [rmse_all[gi] for gi, _ in entries]
-                _, combo_best = entries[int(np.argmin(errs))]
-                best_slots = [s for s in combo_best if s is not None]
-                leftover = sorted(set(person.tolist()) - set(best_slots))
-                if len(leftover) > 1:
-                    # reference re-runs get_best_comb on the leftovers
-                    # (step2:653-656); a leftover remnant has at most one
-                    # det per camera here, so it is a single combo
-                    if len(leftover) >= 2:
-                        finals.append((ti, leftover))
-            if len(best_slots) >= 2:
-                finals.append((ti, best_slots))
+    for ci, ((ti, _), best) in enumerate(zip(parents, parent_best)):
+        if len(best) >= 2:
+            finals.append((ti, best))
+        extra = extra_by_parent.get(ci)
+        if extra is not None and len(extra) >= 2:
+            finals.append((ti, extra))
 
     if finals:
-        kp_fin = jnp.asarray(
-            np.stack([combo_tensor(ti, slots) for ti, slots in finals])
+        kp_fin, n_fin = put_batch_sharded(
+            np.stack([combo_tensor(ti, slots) for ti, slots in finals]),
+            mesh,
         )
-        p3d_fin = np.asarray(triangulate_poses(cam, kp_fin))
+        p3d_fin = np.asarray(triangulate_poses(cam, kp_fin))[:n_fin]
     else:
         p3d_fin = np.zeros((0, cfg.n_joint, 3))
 

@@ -245,3 +245,51 @@ class SyntheticPerception:
                 labels[bi, k] = self.id_classes[a]
                 scores[bi, k] = self.rng.uniform(0.9, 0.99)
         return labels, scores
+
+
+def synthesize_alldata(rig, kp3d, seed=0):
+    """Synthetic per-camera alldata in the reference's row schema
+    [track_id, x1,y1,x2,y2, [[x,y,s]x17], cid, cid_score] (step1:353-359),
+    with dropped detections, sub-threshold keypoints, a ghost duplicate
+    detection, and occasional unknown collar reads."""
+    rng = np.random.default_rng(seed)
+    A, T, J, _ = kp3d.shape
+    cam = rig.omni()
+    proj = np.asarray(
+        omnidir_project(cam, jnp.asarray(kp3d.reshape(-1, 3)))
+    ).reshape(rig.n_cam, A, T, J, 2)
+    collars = [int(VALID_COLLAR_CLASSES[a]) for a in range(A)]
+
+    percam = []
+    for c in range(rig.n_cam):
+        frames = []
+        for t in range(T):
+            dets = []
+            for a in range(A):
+                if rng.random() < 0.03:  # missed detection
+                    continue
+                pts = proj[c, a, t] + rng.normal(0, 0.4, (J, 2))
+                scores = np.clip(rng.normal(0.9, 0.05, J), 0, 1)
+                # a few keypoints drop below THR_KP
+                low = rng.random(J) < 0.05
+                scores[low] = 0.05
+                x1, y1 = pts.min(axis=0) - 5
+                x2, y2 = pts.max(axis=0) + 5
+                kp = [[float(x), float(y), float(s)]
+                      for (x, y), s in zip(pts, scores)]
+                cid = collars[a] if rng.random() > 0.1 else 4  # 4=unknown
+                cs = float(np.clip(rng.normal(0.92, 0.04), 0, 1))
+                dets.append([a + 1, float(x1), float(y1), float(x2),
+                             float(y2), kp, int(cid), cs])
+                if c == 0 and a == 0 and 30 <= t < 60 and rng.random() < 0.5:
+                    # ghost duplicate near animal 0 (exercises best-comb)
+                    pts2 = pts + rng.normal(20, 4, 2)
+                    kp2 = [[float(x), float(y), float(s)]
+                           for (x, y), s in zip(pts2, scores)]
+                    dets.append([A + 7, float(pts2[:, 0].min() - 5),
+                                 float(pts2[:, 1].min() - 5),
+                                 float(pts2[:, 0].max() + 5),
+                                 float(pts2[:, 1].max() + 5), kp2, 4, 0.2])
+            frames.append(dets)
+        percam.append(frames)
+    return percam

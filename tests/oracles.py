@@ -33,6 +33,64 @@ def omni_project_np(K, xi, D, rvec, tvec, pts):
     return np.stack([u, v], axis=1)
 
 
+def omni_undistort_np(pts, K, D, xi, n_iter=20):
+    """Pixel -> normalized pinhole coords on the z=1 plane (the semantics
+    of cv2.omnidir.undistortPoints with R=eye(3)): invert the affine K,
+    fixed-point-invert the radial/tangential distortion, lift to the Mei
+    unit sphere, reproject to z=1."""
+    K = np.asarray(K, np.float64)
+    xi = float(np.asarray(xi).ravel()[0])
+    k1, k2, p1, p2 = np.asarray(D, np.float64).ravel()[:4]
+    pp = np.asarray(pts, np.float64).reshape(-1, 2)
+    y = (pp[:, 1] - K[1, 2]) / K[1, 1]
+    x = (pp[:, 0] - K[0, 2] - K[0, 1] * y) / K[0, 0]
+    xu, yu = x.copy(), y.copy()
+    for _ in range(n_iter):
+        r2 = xu * xu + yu * yu
+        rad = 1 + k1 * r2 + k2 * r2 * r2
+        dx = 2 * p1 * xu * yu + p2 * (r2 + 2 * xu * xu)
+        dy = p1 * (r2 + 2 * yu * yu) + 2 * p2 * xu * yu
+        xu = (x - dx) / rad
+        yu = (y - dy) / rad
+    r2 = xu * xu + yu * yu
+    a = r2 + 1.0
+    b = 2.0 * xi * r2
+    c = r2 * xi * xi - 1.0
+    Zs = (-b + np.sqrt(b * b - 4 * a * c)) / (2 * a)
+    s = Zs + xi
+    return np.stack([xu * s / Zs, yu * s / Zs], axis=1)
+
+
+class _OmnidirShim:
+    """Stand-in for the cv2.omnidir contrib module (absent from this
+    OpenCV build) with the two entry points the reference pipeline uses."""
+
+    @staticmethod
+    def undistortPoints(pts, K, D, xi, R):
+        assert np.allclose(np.asarray(R), np.eye(3))
+        out = omni_undistort_np(pts, K, D, xi)
+        return out.reshape(-1, 1, 2)
+
+    @staticmethod
+    def projectPoints(p3d, rvec, tvec, K, xi, D):
+        pts = omni_project_np(
+            np.asarray(K, np.float64), float(np.asarray(xi).ravel()[0]),
+            np.asarray(D, np.float64).ravel()[:4],
+            np.asarray(rvec, np.float64).ravel(),
+            np.asarray(tvec, np.float64).ravel(),
+            np.asarray(p3d, np.float64).reshape(-1, 3),
+        )
+        return pts.reshape(-1, 1, 2), None
+
+
+def install_cv2_omnidir_shim():
+    """Give the reference code a working ``cv2.omnidir`` namespace."""
+    import cv2
+
+    if not hasattr(cv2, "omnidir"):
+        cv2.omnidir = _OmnidirShim()
+
+
 # -------------------------------------------------------------------- DLT
 
 def triangulate_svd_np(points, pmats):

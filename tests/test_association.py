@@ -77,6 +77,123 @@ def match_svt_np(S, dimGroup, alpha=0.5, lam=50.0, tol=5e-4, max_iter=500):
     return (X > 0.5).astype(np.uint8)
 
 
+def myproj2dpam_np(Y, tol=1e-2):
+    """Reference myproj2dpam (step2:110-126)."""
+    X = Y.copy()
+    I2 = np.zeros_like(X)
+    for _ in range(10):
+        X1 = np.stack([proj2pav_np(r) for r in (X + I2)])
+        I1 = X1 - (X + I2)
+        X2 = np.stack([proj2pav_np(c) for c in (X + I1).T]).T
+        I2 = X2 - (X + I1)
+        if np.abs(X2 - X).sum() / X.size < tol:
+            break
+        X = X2
+    return X
+
+
+def match_svt_np_dual(S, dimGroup, alpha=0.5, lam=50.0, tol=5e-4,
+                      max_iter=500):
+    """Oracle WITH the per-block dual-stochastic projection
+    (reference step2:180-186)."""
+    N = S.shape[0]
+    S = S.copy()
+    S[np.arange(N), np.arange(N)] = 0
+    S = (S + S.T) / 2
+    X = S.copy()
+    Y = np.zeros_like(S)
+    W = alpha - S
+    mu = 64.0
+    for _ in range(max_iter):
+        X0 = X.copy()
+        U, s, Vh = np.linalg.svd(Y / mu + X, full_matrices=False)
+        s_th = np.maximum(s - lam / mu, 0)
+        Q = U @ np.diag(s_th) @ Vh
+        X = Q - (W + Y) / mu
+        for i in range(len(dimGroup) - 1):
+            i0, i1 = dimGroup[i], dimGroup[i + 1]
+            X[i0:i1, i0:i1] = 0
+        X[np.arange(N), np.arange(N)] = 1
+        X = np.clip(X, 0, 1)
+        for i in range(len(dimGroup) - 1):
+            r0, r1 = dimGroup[i], dimGroup[i + 1]
+            for j in range(len(dimGroup) - 1):
+                c0, c1 = dimGroup[j], dimGroup[j + 1]
+                if r1 > r0 and c1 > c0:
+                    X[r0:r1, c0:c1] = myproj2dpam_np(X[r0:r1, c0:c1])
+        X = (X + X.T) / 2
+        Y = Y + mu * (X - Q)
+        pRes = np.linalg.norm(X - Q) / N
+        dRes = mu * np.linalg.norm(X - X0) / N
+        if pRes < tol and dRes < tol:
+            break
+        if pRes > 10 * dRes:
+            mu *= 2
+        elif dRes > 10 * pRes:
+            mu /= 2
+    X = (X + X.T) / 2
+    return (X > 0.5).astype(np.uint8)
+
+
+def test_svt_dual_stochastic_matches_oracle():
+    rng = np.random.default_rng(7)
+    dimGroup = [0, 2, 4, 6, 8]
+    N = 8
+    S = np.zeros((N, N))
+    for i in range(N):
+        for j in range(N):
+            if i // 2 != j // 2 and i % 2 == j % 2:
+                S[i, j] = 0.9 + rng.uniform(-0.05, 0.05)
+            elif i // 2 != j // 2:
+                S[i, j] = 0.1 + rng.uniform(-0.05, 0.05)
+    S = (S + S.T) / 2
+
+    want = match_svt_np_dual(S.copy(), dimGroup)
+    got = np.asarray(match_svt(
+        jnp.asarray(S), jnp.asarray(_block_mask(dimGroup, N)),
+        dual_stochastic=True, block_size=2,
+    ))
+    np.testing.assert_array_equal(got, want)
+    assert want[0, 2] == 1
+
+
+def test_svt_dual_stochastic_padded_matches_compact():
+    """Padded slot layout (block_size 2, cam det counts (2,1,2)) must
+    reproduce the compact-matrix oracle: zero padding is neutral for
+    the per-block projections."""
+    rng = np.random.default_rng(9)
+    counts = [2, 1, 2]
+    dimGroup = [0, 2, 3, 5]
+    Nc = 5
+    S = rng.uniform(0.0, 0.2, (Nc, Nc))
+    # one consistent identity: det 0 in each cam (compact idx 0, 2, 3)
+    for i, j in [(0, 2), (0, 3), (2, 3)]:
+        S[i, j] = S[j, i] = 0.92
+    S = (S + S.T) / 2
+    want = match_svt_np_dual(S.copy(), dimGroup)
+
+    # pad to 3 cams x 2 slots
+    M = 6
+    slot_of = [0, 1, 2, 4, 5]  # compact index -> padded slot
+    Sp = np.zeros((M, M))
+    for a in range(Nc):
+        for b in range(Nc):
+            Sp[slot_of[a], slot_of[b]] = S[a, b]
+    valid = np.zeros(M, bool)
+    for s in slot_of:
+        valid[s] = True
+    blk = np.zeros((M, M), bool)
+    for c in range(3):
+        blk[2 * c:2 * c + 2, 2 * c:2 * c + 2] = True
+    got = np.asarray(match_svt(
+        jnp.asarray(Sp), jnp.asarray(blk), dual_stochastic=True,
+        block_size=2, valid=jnp.asarray(valid),
+    ))
+    for a in range(Nc):
+        for b in range(Nc):
+            assert got[slot_of[a], slot_of[b]] == want[a, b], (a, b)
+
+
 def _block_mask(dimGroup, N):
     m = np.zeros((N, N), bool)
     for i in range(len(dimGroup) - 1):

@@ -14,6 +14,64 @@ from macaque_tpu.core.config import CrossViewConfig, VALID_COLLAR_CLASSES
 from macaque_tpu.tools.synthetic import make_test_rig, simulate_scene
 
 
+def test_remnant_pass_handles_same_camera_collision():
+    """A merged cluster holding TWO animals plus a duplicate detection (3
+    detections in camera 0) must resolve into: parent best = animal A,
+    leftover remnant = {B_cam0, Bdup_cam0, B_cam1} -> remnant best picks
+    exactly one cam-0 detection (the true one), like the reference's
+    extra get_best_comb pass (step2:649-656)."""
+    from macaque_tpu.pipeline.step2 import batched_best_combs
+
+    rig = make_test_rig(4, seed=5)
+    cam = rig.omni()
+    kp3d = simulate_scene(2, 4, seed=6)  # animals A=0, B=1
+    # move B close to A so the merged-cluster scenario is geometric too
+    kp3d[1] = kp3d[0] + np.array([60.0, 0.0, 0.0])
+    J = kp3d.shape[2]
+    proj = np.asarray(
+        omnidir_project(cam, jnp.asarray(kp3d.reshape(-1, 3)))
+    ).reshape(2, 4, rig.n_cam, J, 2)
+
+    t = 1
+    rng = np.random.default_rng(1)
+
+    def kp_for(animal, c, shift=0.0):
+        pts = proj[animal, t, c] + rng.normal(0, 0.3, (J, 2)) + shift
+        return np.concatenate([pts, np.full((J, 1), 0.95)], axis=1)
+
+    # slots: 0=A_cam0 1=B_cam0 2=Bdup_cam0(shifted) 3=A_cam1 4=B_cam1
+    #        5=A_cam2 6=A_cam3
+    dets = [
+        kp_for(0, 0), kp_for(1, 0), kp_for(1, 0, shift=30.0),
+        kp_for(0, 1), kp_for(1, 1), kp_for(0, 2), kp_for(0, 3),
+    ]
+    cam_of = np.array([0, 0, 0, 1, 1, 2, 3])
+    pose_np = np.stack(dets)  # (7, J, 3)
+
+    def combo_tensor(ti, slots):
+        kp = np.zeros((rig.n_cam, J, 3))
+        for s in slots:
+            kp[cam_of[s]] = pose_np[s]
+        return kp
+
+    cluster = list(range(7))  # everything merged into one cluster
+    (best,) = batched_best_combs(
+        [(0, cluster)], combo_tensor, cam_of, cam, rig.n_cam
+    )
+    # parent best must be a consistent one-per-camera set; the globally
+    # best combo is all-A (4 views agree)
+    assert sorted(best) == [0, 3, 5, 6]
+
+    leftover = sorted(set(cluster) - set(best))
+    assert leftover == [1, 2, 4]  # cam0 collision: two B candidates
+    (extra,) = batched_best_combs(
+        [(0, leftover)], combo_tensor, cam_of, cam, rig.n_cam
+    )
+    # remnant pass must pick exactly ONE cam-0 detection — the true B,
+    # not the 30px-shifted duplicate — plus B in cam 1
+    assert sorted(extra) == [1, 4]
+
+
 def test_best_comb_rejects_wrong_same_camera_detection(tmp_path):
     rig = make_test_rig(4, seed=3)
     kp3d = simulate_scene(1, 40, seed=4)  # one animal
