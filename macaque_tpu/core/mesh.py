@@ -55,3 +55,54 @@ def replicate(mesh: Mesh) -> NamedSharding:
 
 def device_put_sharded_batch(x, mesh: Mesh, *axis_names):
     return jax.device_put(x, shard_over(mesh, *axis_names))
+
+
+# ------------------------------------------------------------------
+# Production-pipeline sharding: batch-axis SPMD with padding.
+#
+# Every stage device program (perception chunk programs, step2
+# affinity/SVT, step4 viterbi/DLT/refine) is batched along one leading
+# axis whose elements are independent. Sharding that axis over the whole
+# mesh and replicating the weights turns the SAME jitted program into an
+# SPMD program — XLA partitions the batch and inserts collectives only
+# where an output needs regrouping. The batch is padded up to a multiple
+# of the device count (XLA requires even sharding); callers slice the
+# original length back off the (host-fetched) result.
+
+
+def batch_spec(mesh: Mesh, axis: int = 0) -> P:
+    """PartitionSpec sharding array dim ``axis`` over ALL mesh axes."""
+    return P(*([None] * axis + [tuple(mesh.axis_names)]))
+
+
+def pad_to_multiple(x: np.ndarray, m: int, axis: int = 0):
+    """Pad ``axis`` with edge copies up to a multiple of ``m``. Edge
+    padding (not zeros) keeps padded lanes numerically tame in solvers;
+    callers drop them regardless."""
+    n = x.shape[axis]
+    rem = (-n) % m
+    if rem == 0:
+        return x, n
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, rem)
+    return np.pad(x, pad, mode="edge"), n
+
+
+def put_batch_sharded(x, mesh: Optional[Mesh], axis: int = 0):
+    """Pad + place ``x`` with dim ``axis`` sharded over the mesh.
+
+    Returns ``(array, orig_len)``. With ``mesh=None`` this is a no-op
+    pass-through (single-device path)."""
+    x = np.asarray(x)
+    if mesh is None:
+        return x, x.shape[axis]
+    x, n = pad_to_multiple(x, mesh.size, axis)
+    arr = jax.device_put(x, NamedSharding(mesh, batch_spec(mesh, axis)))
+    return arr, n
+
+
+def put_replicated(tree, mesh: Optional[Mesh]):
+    """Replicate a pytree (weights, camera params) over the mesh."""
+    if mesh is None:
+        return tree
+    return jax.device_put(tree, NamedSharding(mesh, P()))

@@ -35,7 +35,13 @@ class PerceptionBackend(Protocol):
 
 @dataclass
 class FlaxPerception:
-    """Real-model backend: Swin Mask R-CNN + ViTPose + ResNet-152."""
+    """Real-model backend: Swin Mask R-CNN + ViTPose + ResNet-152.
+
+    With ``mesh`` set (a ``jax.sharding.Mesh``), the three chunk programs
+    run SPMD over the whole mesh: weights replicated, the frame-batch
+    axis sharded across all devices (the TPU-native equivalent of the
+    reference's one-process-per-GPU scale-out, info_replication.md:14).
+    """
 
     detector_model: object
     detector_vars: dict
@@ -45,10 +51,18 @@ class FlaxPerception:
     id_vars: dict
     max_det: int = 8
     flip_test: bool = True
+    mesh: object = None
 
     def __post_init__(self):
         import jax
         import jax.numpy as jnp
+        from macaque_tpu.core.mesh import put_replicated
+
+        if self.mesh is not None:
+            self.detector_vars = put_replicated(self.detector_vars,
+                                                self.mesh)
+            self.pose_vars = put_replicated(self.pose_vars, self.mesh)
+            self.id_vars = put_replicated(self.id_vars, self.mesh)
         from macaque_tpu.nn.preprocess import (
             detector_input_batch, normalize_rgb, udp_crop,
             bbox_to_center_scale, id_crops, crop_coords_to_image,
@@ -138,24 +152,26 @@ class FlaxPerception:
         self._pose_fn = _pose
         self._classify_fn = _classify
 
-    def detect(self, frames_bgr):
-        import jax.numpy as jnp
+    def _put(self, x):
+        from macaque_tpu.core.mesh import put_batch_sharded
 
-        b, s = self._detect_fn(jnp.asarray(frames_bgr))
-        return np.asarray(b), np.asarray(s)
+        return put_batch_sharded(x, self.mesh)
+
+    def detect(self, frames_bgr):
+        frames, n = self._put(frames_bgr)
+        b, s = self._detect_fn(frames)
+        return np.asarray(b)[:n], np.asarray(s)[:n]
 
     def pose(self, frames_bgr, boxes, valid):
-        import jax.numpy as jnp
-
-        out = self._pose_fn(
-            jnp.asarray(frames_bgr), jnp.asarray(boxes), jnp.asarray(valid)
-        )
-        return np.asarray(out)
+        frames, n = self._put(frames_bgr)
+        boxes, _ = self._put(boxes)
+        valid, _ = self._put(valid)
+        out = self._pose_fn(frames, boxes, valid)
+        return np.asarray(out)[:n]
 
     def classify(self, frames_bgr, boxes, valid):
-        import jax.numpy as jnp
-
-        l, s = self._classify_fn(
-            jnp.asarray(frames_bgr), jnp.asarray(boxes), jnp.asarray(valid)
-        )
-        return np.asarray(l), np.asarray(s)
+        frames, n = self._put(frames_bgr)
+        boxes, _ = self._put(boxes)
+        valid, _ = self._put(valid)
+        l, s = self._classify_fn(frames, boxes, valid)
+        return np.asarray(l)[:n], np.asarray(s)[:n]

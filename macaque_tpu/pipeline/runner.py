@@ -20,9 +20,17 @@ def run_pipeline(
     render: bool = True,
     render_cams: Optional[list[int]] = None,
     redo: bool = False,
+    mesh=None,
 ) -> str:
     """Run detect/track/pose/ID -> cross-view -> cross-frame -> 3D ->
-    render for one recording. Returns the result directory."""
+    render for one recording. Returns the result directory.
+
+    ``mesh`` (a ``jax.sharding.Mesh``) runs every stage's device
+    programs SPMD over the mesh: batch axes sharded across all devices,
+    weights/camera parameters replicated (the TPU-native replacement for
+    the reference's one-process-per-GPU scale-out,
+    info_replication.md:14). A mesh-aware ``FlaxPerception`` should be
+    constructed with the same mesh."""
     from macaque_tpu.core.trace import StageTimes
     from macaque_tpu.pipeline.step1 import run_step1
     from macaque_tpu.pipeline.step2 import run_step2
@@ -38,15 +46,16 @@ def run_pipeline(
             perception, fps=config.fps, cfg=config.step1, redo=redo,
         )
     with timer.stage("step2_crossview"):
-        run_step2(result_dir, rig, config.cross_view, redo=redo)
+        run_step2(result_dir, rig, config.cross_view, redo=redo,
+                  mesh=mesh)
     with timer.stage("step3_crossframe"):
         run_step3(result_dir, rig, config.cross_frame, fps=config.fps,
-                  redo=redo)
+                  redo=redo, mesh=mesh)
     with timer.stage("step4_3d"):
         run_step4(
             result_dir, rig, pipeline_cfg=config,
             filter_cfg=config.filter, tri_cfg=config.triangulation,
-            redo=redo,
+            redo=redo, mesh=mesh,
         )
 
     if render:

@@ -35,15 +35,18 @@ class TraceCalculator:
     calc_3dpose/calc_3dtrace loops, reference step3:254-302). Pads batch
     sizes to powers of two so the jitted program compiles a few times."""
 
-    def __init__(self, rig: CameraRig, n_kp: int = 17, kp_thr: float = 0.3):
+    def __init__(self, rig: CameraRig, n_kp: int = 17, kp_thr: float = 0.3,
+                 mesh=None):
         import jax
         import jax.numpy as jnp
         from macaque_tpu.cameras.omnidir import omnidir_undistort
+        from macaque_tpu.core.mesh import put_replicated
         from macaque_tpu.geometry.triangulate import triangulate_dlt_pinv
 
-        cam = rig.omni()
+        cam = put_replicated(rig.omni(), mesh)
         self.n_cam = rig.n_cam
         self.n_kp = n_kp
+        self.mesh = mesh
 
         @jax.jit
         def tri(kp2d):  # (N, C, J, 3)
@@ -65,7 +68,10 @@ class TraceCalculator:
         pad = 1 << max(0, (n - 1).bit_length())
         buf = np.full((pad, *kp2d.shape[1:]), np.nan)
         buf[:n] = kp2d
-        out = np.asarray(self._tri(jnp.asarray(buf)))
+        from macaque_tpu.core.mesh import put_batch_sharded
+
+        arr, _ = put_batch_sharded(buf, self.mesh)
+        out = np.asarray(self._tri(arr))
         return out[:n]
 
     def gather_kp2d(self, alldata, trk_rows: np.ndarray,
@@ -846,6 +852,7 @@ def run_step3(
     cfg: CrossFrameConfig = CrossFrameConfig(),
     fps: float = 24.0,
     redo: bool = False,
+    mesh=None,
 ) -> str:
     out_path = os.path.join(result_dir, "kp2d.pickle")
     if stage_done(out_path, os.path.join(result_dir, "track.pickle")) \
@@ -861,7 +868,7 @@ def run_step3(
     match_keyframes = read_pickle(
         os.path.join(result_dir, "match_keyframe.pickle")
     )
-    tc = TraceCalculator(rig)
+    tc = TraceCalculator(rig, mesh=mesh)
     wsize = int(fps * 5)
 
     print("[step3] connect keyframes...")

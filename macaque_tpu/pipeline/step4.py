@@ -112,6 +112,7 @@ def run_step4(
     axes_spec=None,
     ref_point: Optional[str] = None,
     redo: bool = False,
+    mesh=None,
 ) -> str:
     pc = pipeline_cfg or PipelineConfig()
     fixed_mode = joint_len_path is not None and os.path.exists(joint_len_path)
@@ -126,26 +127,31 @@ def run_step4(
     rig.to_calibration_toml(os.path.join(result_dir, "calibration.toml"),
                             halve_mtx=True)
 
+    from macaque_tpu.core.mesh import put_batch_sharded, put_replicated
+
     kp2d = np.asarray(read_pickle(os.path.join(result_dir, "kp2d.pickle")))
     n_animal, n_frame, n_cam, n_kp, _ = kp2d.shape
-    cam = rig.omni()
+    cam = put_replicated(rig.omni(), mesh)
 
     # ---------------- 2D Viterbi filter, batched over (animal, cam)
     print("[step4] 2D viterbi filtering...", flush=True)
     pts = kp2d[..., :2]                  # (A, T, C, J, 2)
     scs = kp2d[..., 2]
-    pts_b = jnp.asarray(
-        pts.transpose(0, 2, 1, 3, 4).reshape(-1, n_frame, n_kp, 1, 2)
+    # (animal, camera) streams are independent -> shard them over the mesh
+    pts_b, n_ac = put_batch_sharded(
+        pts.transpose(0, 2, 1, 3, 4).reshape(-1, n_frame, n_kp, 1, 2), mesh
     )
-    scs_b = jnp.asarray(
-        scs.transpose(0, 2, 1, 3).reshape(-1, n_frame, n_kp, 1)
+    scs_b, _ = put_batch_sharded(
+        scs.transpose(0, 2, 1, 3).reshape(-1, n_frame, n_kp, 1), mesh
     )
     vf = _viterbi_batched(filter_cfg.n_back,
                           filter_cfg.offset_threshold,
                           filter_cfg.score_threshold)
     f_pts, f_scs = vf(pts_b, scs_b)
-    f_pts = np.asarray(f_pts).reshape(n_animal, n_cam, n_frame, n_kp, 2)
-    f_scs = np.asarray(f_scs).reshape(n_animal, n_cam, n_frame, n_kp)
+    f_pts = np.asarray(f_pts)[:n_ac].reshape(
+        n_animal, n_cam, n_frame, n_kp, 2)
+    f_scs = np.asarray(f_scs)[:n_ac].reshape(
+        n_animal, n_cam, n_frame, n_kp)
 
     # kp2d_f in the reference layout (n_frame, n_kp, n_animal, 3, n_cam)
     kp2d_f = np.concatenate([f_pts, f_scs[..., None]], axis=-1)
@@ -181,13 +187,15 @@ def run_step4(
     points_all = f_pts.copy()                    # (A, C, T, J, 2)
     bad_all = f_scs < tri_cfg.score_threshold
     points_all[bad_all] = np.nan
-    p2d_all = jnp.asarray(points_all)
-    flat_ca = jnp.swapaxes(p2d_all, 0, 1).reshape(n_cam, -1, 2)  # (C, A*T*J, 2)
+    # point axis (A*T*J) is the parallel axis here; cameras stay together
+    flat_ca, n_pt = put_batch_sharded(
+        np.swapaxes(points_all, 0, 1).reshape(n_cam, -1, 2), mesh, axis=1
+    )
     if tri_cfg.ransac:
         p3d_init_all, _, _, _ = triangulate_ransac(cam, flat_ca)
     else:
         p3d_init_all = _undistort_dlt(cam, flat_ca)
-    p3d_init_all = np.asarray(p3d_init_all).reshape(
+    p3d_init_all = np.asarray(p3d_init_all)[:n_pt].reshape(
         n_animal, n_frame, n_kp, 3)
 
     do_refine = np.array([
@@ -195,16 +203,20 @@ def run_step4(
         for a in range(n_animal)
     ])
     if do_refine.any():
+        p2d_sh, n_a = put_batch_sharded(points_all, mesh)
+        p3d_sh, _ = put_batch_sharded(p3d_init_all, mesh)
         p3d_ref_all, jl_all = refine_points_3d_batch(
-            cam, p2d_all, jnp.asarray(p3d_init_all),
+            cam, p2d_sh, p3d_sh,
             constraints=constraints, constraints_weak=constraints_weak,
             cfg=rcfg,
             joint_lengths=(
                 jnp.asarray(joint_len_fixed) if fixed_mode else None
             ),
         )
-        p3d_ref_all = np.asarray(p3d_ref_all)
+        p3d_ref_all = np.asarray(p3d_ref_all)[:n_a]
         jl_all = np.asarray(jl_all)
+        if jl_all.ndim > 1:
+            jl_all = jl_all[:n_a]
 
     for a in range(n_animal):
         points = points_all[a]
@@ -220,9 +232,9 @@ def run_step4(
             min_cams = 2
 
         # reprojection errors + scores (reference step4:276-319)
-        proj = np.asarray(
-            reproject_poses(cam, jnp.asarray(p3d.reshape(-1, n_kp, 3)))
-        ).reshape(n_frame, n_cam, n_kp, 2).transpose(1, 0, 2, 3)
+        p3d_in, n_fr = put_batch_sharded(p3d.reshape(-1, n_kp, 3), mesh)
+        proj = np.asarray(reproject_poses(cam, p3d_in))[:n_fr].reshape(
+            n_frame, n_cam, n_kp, 2).transpose(1, 0, 2, 3)
         err = np.linalg.norm(points - proj, axis=-1)  # (C, T, J)
         good = ~np.isnan(points[..., 0])
         denom = good.sum(axis=0).astype(float)
