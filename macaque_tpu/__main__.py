@@ -52,7 +52,8 @@ def main(argv=None):
 
     sp = sub.add_parser(
         "pose2d", help="2D-only detect+pose skeleton overlay on a plain "
-        "video (reference run_2D notebook)")
+        "video (reference run_2D notebook). NOTE: no tracking/ID — "
+        "boxes are per-frame; use `step1` for the tracked 2D pipeline")
     sp.add_argument("video")
     sp.add_argument("--out", default="pose2d.mp4")
     sp.add_argument("--weights", default=None,
@@ -61,6 +62,16 @@ def main(argv=None):
     sp.add_argument("--det-thr", type=float, default=0.85)
     sp.add_argument("--max-frames", type=int, default=None)
 
+    sp = sub.add_parser(
+        "eval-coco", help="COCO-dataset detector/pose AP eval "
+        "(det_pose_optim notebook flow)")
+    sp.add_argument("--ann", required=True,
+                    help="COCO annotation json")
+    sp.add_argument("--images", required=True, help="images dir")
+    sp.add_argument("--weights", default=None)
+    sp.add_argument("--det-thr", type=float, default=0.85)
+    sp.add_argument("--max-images", type=int, default=None)
+
     sp = sub.add_parser("convert-weights")
     sp.add_argument("--weights", default="./model",
                     help="dir with detection/pose/id .pth checkpoints")
@@ -68,12 +79,35 @@ def main(argv=None):
 
     # anipose-style session workflows (project config.toml driven)
     for name in ("triangulate-session", "project-2d", "label-videos",
-                 "session-angles", "tracking-errors"):
+                 "session-angles", "tracking-errors", "label-3d",
+                 "label-proj", "label-combined", "convert-videos",
+                 "calibration-errors", "report"):
         sp = sub.add_parser(name)
         sp.add_argument("--config", default="config.toml",
                         help="anipose project config.toml")
         if name == "tracking-errors":
             sp.add_argument("--labeled", default="labeled-data")
+        if name == "report":
+            sp.add_argument("--out", default=None,
+                            help="report output dir (default "
+                            "<project>/report)")
+
+    sp = sub.add_parser(
+        "extract-frames", help="mine worst/best/random frames for "
+        "relabeling (anipose extract_frames)")
+    sp.add_argument("--config", default="config.toml")
+    sp.add_argument("--mode", default="bad",
+                    choices=("bad", "good", "random"))
+    sp.add_argument("--num", type=int, default=250)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--spacing", type=int, default=10,
+                    help="min frames between picks of one video")
+
+    sp = sub.add_parser(
+        "pose-videos", help="run the 2D pose stack over raw session "
+        "videos missing pose-2d files (anipose pose_videos)")
+    sp.add_argument("--config", default="config.toml")
+    sp.add_argument("--weights", default=None)
 
     sp = sub.add_parser(
         "sweep", help="tracker hyperparameter sweep on the synthetic "
@@ -87,6 +121,11 @@ def main(argv=None):
                                      "pose2d", "pose2d-filtered",
                                      "angles", "errors"))
     sp.add_argument("--config", default="config.toml")
+
+    sp = sub.add_parser(
+        "label-cage", help="interactively click cage keypoints per "
+        "camera (needs a display; writes cagepoints_annotation.h5)")
+    sp.add_argument("config", help="path to calib config.yaml")
 
     sp = sub.add_parser(
         "calibrate",
@@ -200,8 +239,12 @@ def main(argv=None):
             print(row)
     elif args.cmd in ("triangulate-session", "project-2d",
                       "label-videos", "session-angles",
-                      "tracking-errors", "summarize"):
+                      "tracking-errors", "summarize", "label-3d",
+                      "label-proj", "label-combined", "convert-videos",
+                      "calibration-errors", "report", "extract-frames",
+                      "pose-videos"):
         from macaque_tpu.tools import session as ses
+        from macaque_tpu.tools import session_extras as sx
 
         config = ses.load_session_config(args.config)
         if args.cmd == "triangulate-session":
@@ -212,6 +255,33 @@ def main(argv=None):
             out = ses.label_videos_all(config)
         elif args.cmd == "session-angles":
             out = ses.angles_all(config)
+        elif args.cmd == "label-3d":
+            out = sx.label_videos_3d_all(config)
+        elif args.cmd == "label-proj":
+            out = sx.label_videos_proj_all(config)
+        elif args.cmd == "label-combined":
+            out = sx.label_combined_all(config)
+        elif args.cmd == "convert-videos":
+            out = sx.convert_videos_all(config)
+        elif args.cmd == "calibration-errors":
+            out = sx.calibration_errors_all(config)
+        elif args.cmd == "extract-frames":
+            out = {(): sx.extract_frames(config, mode=args.mode,
+                                         num_frames_pick=args.num,
+                                         seed=args.seed,
+                                         spacing=args.spacing)}
+        elif args.cmd == "pose-videos":
+            sys.path.insert(0, os.getcwd())
+            from run_demo import build_flax_perception
+
+            weights = args.weights or os.environ.get(
+                "MACAQUE_TPU_WEIGHTS", "./model")
+            out = sx.pose_videos_all(config,
+                                     build_flax_perception(weights))
+        elif args.cmd == "report":
+            from macaque_tpu.tools.report import generate_report
+
+            out = {(): [generate_report(config, args.out)]}
         elif args.cmd == "tracking-errors":
             out = {(): [ses.get_tracking_errors(config,
                                                 labeled_dir=args.labeled)]}
@@ -228,6 +298,23 @@ def main(argv=None):
         for files in out.values():
             for f in files or ():
                 print(f"wrote {f}")
+    elif args.cmd == "eval-coco":
+        import json as _json
+
+        sys.path.insert(0, os.getcwd())
+        from run_demo import build_flax_perception
+        from macaque_tpu.tools.coco_eval import run_coco_eval
+
+        weights = args.weights or os.environ.get("MACAQUE_TPU_WEIGHTS",
+                                                 "./model")
+        res = run_coco_eval(build_flax_perception(weights), args.images,
+                            args.ann, det_thr=args.det_thr,
+                            max_images=args.max_images)
+        print(_json.dumps(res))
+    elif args.cmd == "label-cage":
+        from macaque_tpu.calib.labeler import label_cage_keypoints
+
+        print(label_cage_keypoints(args.config))
     elif args.cmd == "calibrate":
         from macaque_tpu.calib import workflow as wf
 

@@ -63,7 +63,13 @@ def render_2d_video(
     max_frames: Optional[int] = None,
 ) -> dict:
     """Run the 2D-only pipeline over a plain video file and write the
-    skeleton overlay. Returns {frames, detections}."""
+    skeleton overlay. Returns {frames, detections}.
+
+    Matches the reference's run_2D notebook: detect -> pose per frame,
+    NO tracking and NO collar-ID — detections are independent each
+    frame. For a tracked/ID'd 2D pipeline over imgstore recordings use
+    ``pipeline.step1.run_step1`` (CLI: ``python -m macaque_tpu step1``).
+    """
     import cv2
 
     cap = cv2.VideoCapture(video_path)
