@@ -239,3 +239,312 @@ def make_id_train_step(model, optimizer,
         return params, updates, opt_state, loss
 
     return train_step
+
+
+# ---------------------------------------------------- detection training
+#
+# The reference trains the Swin Mask R-CNN through mmdet's runner with
+# MaxIoUAssigner + RandomSampler target assignment and sigmoid-BCE/L1
+# (RPN) + softmax-CE/L1 (RoI) losses
+# (model/detection/SWIN-Mask_R-CNN_bbox_only.py:186-222 train_cfg,
+# :137-174 rpn_head losses, :90-124 roi_head). Below is the TPU-native
+# equivalent: every step is fixed-shape (rank-based sampling masks, no
+# data-dependent gathers), so the whole train step jits and shards
+# data-parallel over the mesh.
+
+
+def iou_matrix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(N, 4) x (M, 4) xyxy -> (N, M) IoU."""
+    area_a = jnp.maximum(a[:, 2] - a[:, 0], 0) * \
+        jnp.maximum(a[:, 3] - a[:, 1], 0)
+    area_b = jnp.maximum(b[:, 2] - b[:, 0], 0) * \
+        jnp.maximum(b[:, 3] - b[:, 1], 0)
+    lt = jnp.maximum(a[:, None, :2], b[None, :, :2])
+    rb = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = jnp.maximum(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = area_a[:, None] + area_b[None, :] - inter
+    return inter / jnp.maximum(union, 1e-9)
+
+
+def bbox2delta(proposals: jnp.ndarray, gt: jnp.ndarray,
+               stds=(1.0, 1.0, 1.0, 1.0)) -> jnp.ndarray:
+    """DeltaXYWHBBoxCoder.encode (means 0): inverse of ops.delta2bbox."""
+    pw = jnp.maximum(proposals[..., 2] - proposals[..., 0], 1e-6)
+    ph = jnp.maximum(proposals[..., 3] - proposals[..., 1], 1e-6)
+    px = (proposals[..., 0] + proposals[..., 2]) * 0.5
+    py = (proposals[..., 1] + proposals[..., 3]) * 0.5
+    gw = jnp.maximum(gt[..., 2] - gt[..., 0], 1e-6)
+    gh = jnp.maximum(gt[..., 3] - gt[..., 1], 1e-6)
+    gx = (gt[..., 0] + gt[..., 2]) * 0.5
+    gy = (gt[..., 1] + gt[..., 3]) * 0.5
+    s = jnp.asarray(stds)
+    return jnp.stack([
+        (gx - px) / pw / s[0],
+        (gy - py) / ph / s[1],
+        jnp.log(gw / pw) / s[2],
+        jnp.log(gh / ph) / s[3],
+    ], axis=-1)
+
+
+def max_iou_assign(
+    boxes: jnp.ndarray, gt: jnp.ndarray, gt_valid: jnp.ndarray,
+    pos_iou_thr: float, neg_iou_thr: float, min_pos_iou: float,
+    match_low_quality: bool = True,
+):
+    """mmdet MaxIoUAssigner (train_cfg :186-222 semantics).
+
+    Returns ``assigned`` int32 (N,): ``-1`` negative, ``-2`` ignored
+    (between neg and pos thresholds), ``>= 0`` index of the assigned gt.
+    ``match_low_quality`` additionally assigns, for every gt, all boxes
+    tying its best overlap (mmdet's per-gt loop, later gts override
+    earlier ones on conflict) when that overlap >= ``min_pos_iou``.
+    """
+    ious = iou_matrix(boxes, gt)
+    ious = jnp.where(gt_valid[None, :], ious, -1.0)
+    max_iou = ious.max(axis=1)
+    argmax = ious.argmax(axis=1).astype(jnp.int32)
+
+    assigned = jnp.where(
+        max_iou >= pos_iou_thr, argmax,
+        jnp.where(max_iou < neg_iou_thr, -1, -2).astype(jnp.int32),
+    )
+    if match_low_quality:
+        M = gt.shape[0]
+        gt_best = ious.max(axis=0)                       # (M,)
+        is_best = (ious == gt_best[None, :]) & \
+            (gt_best[None, :] >= min_pos_iou) & gt_valid[None, :]
+        any_best = is_best.any(axis=1)
+        last_best = (M - 1) - jnp.argmax(
+            is_best[:, ::-1], axis=1).astype(jnp.int32)
+        assigned = jnp.where(any_best, last_best, assigned)
+    return assigned
+
+
+def random_sample_masks(
+    assigned: jnp.ndarray, num: int, pos_fraction: float,
+    key: jax.Array,
+):
+    """mmdet RandomSampler as fixed-shape masks.
+
+    Returns ``(pos_sampled, neg_sampled, avg_factor)``: boolean (N,)
+    masks selecting up to ``num * pos_fraction`` random positives and
+    ``num - n_pos`` random negatives (``neg_pos_ub=-1``), and the
+    number sampled (the loss normalizer, mmdet's ``avg_factor``).
+    Rank-based: every candidate gets a random key; the top-k by key
+    within its pool is selected — no dynamic-shape gathers.
+    """
+    n = assigned.shape[0]
+    pos = assigned >= 0
+    neg = assigned == -1
+    r = jax.random.uniform(key, (n,))
+
+    def rank_of(mask):
+        score = jnp.where(mask, r, jnp.inf)
+        order = jnp.argsort(score)
+        rank = jnp.zeros((n,), jnp.int32).at[order].set(
+            jnp.arange(n, dtype=jnp.int32))
+        return rank
+
+    num_pos_want = int(num * pos_fraction)
+    pos_sampled = pos & (rank_of(pos) < num_pos_want)
+    n_pos = jnp.sum(pos_sampled)
+    neg_sampled = neg & (rank_of(neg) < (num - n_pos))
+    avg = jnp.maximum(jnp.sum(pos_sampled) + jnp.sum(neg_sampled), 1)
+    return pos_sampled, neg_sampled, avg.astype(jnp.float32)
+
+
+def rpn_loss(
+    rpn_outs, anchors, gt_boxes, gt_valid, key,
+    pos_iou_thr=0.7, neg_iou_thr=0.3, min_pos_iou=0.3,
+    num_samples=256, pos_fraction=0.5,
+):
+    """RPN losses for ONE image: sigmoid BCE on objectness + L1 on
+    deltas of sampled positives (loss_cls/loss_bbox, ref config
+    :137-174; train_cfg.rpn :205-218).
+
+    rpn_outs: list over levels of ((h, w, 3) cls, (h, w, 12) reg);
+    anchors: list over levels of (h*w*3, 4).
+    """
+    cls_flat = jnp.concatenate(
+        [cls.reshape(-1) for cls, _ in rpn_outs])
+    reg_flat = jnp.concatenate(
+        [reg.reshape(-1, 4) for _, reg in rpn_outs])
+    anc = jnp.concatenate([jnp.asarray(a) for a in anchors])
+
+    assigned = max_iou_assign(anc, gt_boxes, gt_valid,
+                              pos_iou_thr, neg_iou_thr, min_pos_iou,
+                              match_low_quality=True)
+    pos_s, neg_s, avg = random_sample_masks(
+        assigned, num_samples, pos_fraction, key)
+
+    labels = pos_s.astype(jnp.float32)
+    bce = optax.sigmoid_binary_cross_entropy(
+        cls_flat.astype(jnp.float32), labels)
+    loss_cls = jnp.sum(jnp.where(pos_s | neg_s, bce, 0.0)) / avg
+
+    tgt = bbox2delta(anc, gt_boxes[jnp.maximum(assigned, 0)])
+    l1 = jnp.sum(jnp.abs(reg_flat.astype(jnp.float32) - tgt), axis=-1)
+    loss_reg = jnp.sum(jnp.where(pos_s, l1, 0.0)) / avg
+    return loss_cls, loss_reg
+
+
+def roi_loss(
+    cls_logits, reg, proposals, assigned, gt_boxes, key,
+    num_samples=512, pos_fraction=0.25, num_classes=1,
+):
+    """RoI box-head losses for ONE image: softmax CE (fg classes +
+    background last) + class-specific L1 on sampled positives
+    (ref roi_head :90-124; train_cfg.rcnn :187-204). ``assigned`` comes
+    from max_iou_assign on the (gt-augmented) proposals."""
+    pos_s, neg_s, avg = random_sample_masks(
+        assigned, num_samples, pos_fraction, key)
+
+    # single foreground class: label 0 = macaque, 1 = background
+    labels = jnp.where(pos_s, 0, num_classes)
+    ce = optax.softmax_cross_entropy_with_integer_labels(
+        cls_logits.astype(jnp.float32), labels)
+    loss_cls = jnp.sum(jnp.where(pos_s | neg_s, ce, 0.0)) / avg
+
+    tgt = bbox2delta(proposals, gt_boxes[jnp.maximum(assigned, 0)],
+                     stds=(0.1, 0.1, 0.2, 0.2))
+    l1 = jnp.sum(jnp.abs(reg.reshape(-1, num_classes, 4)[:, 0]
+                         .astype(jnp.float32) - tgt), axis=-1)
+    loss_reg = jnp.sum(jnp.where(pos_s, l1, 0.0)) / avg
+    return loss_cls, loss_reg
+
+
+def make_detection_optimizer(params, lr: float = 1e-4,
+                             weight_decay: float = 0.05):
+    """AdamW per the reference's AmpOptimWrapper (config :227-238),
+    no decay on bias/norm parameters."""
+    def decay_mask(tree):
+        def keep(path, x):
+            name = path[-1].key if hasattr(path[-1], "key") else ""
+            return name not in ("bias", "scale", "rel_bias", "wscale")
+        return jax.tree_util.tree_map_with_path(keep, tree)
+
+    return optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(lr, b1=0.9, b2=0.999, weight_decay=weight_decay,
+                    mask=decay_mask),
+    )
+
+
+def make_detection_train_step(model, optimizer, num_proposals=512):
+    """Full detection train step (batch of images + padded gt boxes).
+
+    ``train_step(params, opt_state, key, images, gt_boxes, gt_valid)``
+    -> (params, opt_state, metrics dict). The RoI stage trains on the
+    RPN's own proposals (stop-gradient through NMS, as mmdet) with the
+    gt boxes appended (add_gt_as_proposals=True, train_cfg :196).
+    """
+    from macaque_tpu.nn.ops import (
+        make_anchors, delta2bbox, batched_nms_fixed, roi_align_windowed,
+    )
+
+    c = model.cfg
+
+    def loss_fn(params, key, images, gt_boxes, gt_valid):
+        B = images.shape[0]
+        variables = {"params": params}
+        fpn_feats, rpn_outs = model.apply(variables, images,
+                                          method="trunk")
+        feat_sizes = [(f.shape[1], f.shape[2]) for f in fpn_feats]
+        anchors = make_anchors(feat_sizes, c.strides)
+        img_shape = (images.shape[1], images.shape[2])
+
+        keys = jax.random.split(key, 2 * B)
+
+        # ---- RPN losses per image
+        def rpn_one(i):
+            outs_i = [(cls[i], reg[i]) for cls, reg in rpn_outs]
+            return rpn_loss(outs_i, anchors, gt_boxes[i], gt_valid[i],
+                            keys[i])
+
+        rpn_cls, rpn_reg = zip(*[rpn_one(i) for i in range(B)])
+        loss_rpn_cls = jnp.mean(jnp.stack(rpn_cls))
+        loss_rpn_reg = jnp.mean(jnp.stack(rpn_reg))
+
+        # ---- proposals (train budget), gt-augmented, stop-gradient
+        def proposals_one(rpn_img):
+            all_boxes, all_scores, all_ids = [], [], []
+            for lvl, ((cls, reg), anc) in enumerate(zip(rpn_img,
+                                                        anchors)):
+                score = jax.nn.sigmoid(cls.reshape(-1))
+                delta = reg.reshape(-1, 4)
+                k = min(c.rpn_nms_pre, score.shape[0])
+                top_s, top_i = jax.lax.top_k(score, k)
+                boxes = delta2bbox(
+                    jnp.asarray(anc)[top_i], delta[top_i],
+                    stds=(1.0, 1.0, 1.0, 1.0), max_shape=img_shape)
+                all_boxes.append(boxes)
+                all_scores.append(top_s)
+                all_ids.append(jnp.full((k,), lvl, jnp.int32))
+            pb = jnp.concatenate(all_boxes)
+            ps = jnp.concatenate(all_scores)
+            pi = jnp.concatenate(all_ids)
+            keep, keep_valid = batched_nms_fixed(
+                pb, ps, pi, c.rpn_iou_thr,
+                min(num_proposals, pb.shape[0]))
+            return pb[keep], keep_valid
+
+        def per_img(i):
+            outs_i = [(cls[i], reg[i]) for cls, reg in rpn_outs]
+            props, pvalid = proposals_one(outs_i)
+            props = jnp.concatenate([props, gt_boxes[i]])
+            pvalid = jnp.concatenate([pvalid, gt_valid[i]])
+            props = jax.lax.stop_gradient(props)
+            assigned = max_iou_assign(
+                props, gt_boxes[i], gt_valid[i],
+                pos_iou_thr=0.5, neg_iou_thr=0.5, min_pos_iou=0.5,
+                match_low_quality=True)
+            assigned = jnp.where(pvalid, assigned, -2)
+            return props, assigned
+
+        props_all, assigned_all = zip(*[per_img(i) for i in range(B)])
+        props_all = jnp.stack(props_all)          # (B, P, 4)
+        assigned_all = jnp.stack(assigned_all)
+
+        # ---- RoI features + head
+        w = jnp.maximum(props_all[..., 2] - props_all[..., 0], 0)
+        h = jnp.maximum(props_all[..., 3] - props_all[..., 1], 0)
+        lvl = jnp.clip(jnp.floor(jnp.log2(
+            jnp.sqrt(w * h) / c.finest_scale + 1e-6)), 0, 3)
+        roi_feats = roi_align_windowed(
+            [f.astype(c.compute_dtype) for f in fpn_feats[:4]],
+            props_all, lvl.astype(jnp.int32), 7, c.strides)
+        P = props_all.shape[1]
+        cls_logits, reg = model.apply(
+            variables,
+            roi_feats.reshape(B * P, *roi_feats.shape[2:])
+            .astype(c.compute_dtype),
+            method=lambda m, x: m.bbox_head(x))
+        cls_logits = cls_logits.reshape(B, P, -1)
+        reg = reg.reshape(B, P, -1)
+
+        roi_cls, roi_reg = zip(*[
+            roi_loss(cls_logits[i], reg[i], props_all[i],
+                     assigned_all[i], gt_boxes[i], keys[B + i],
+                     num_classes=c.num_classes)
+            for i in range(B)
+        ])
+        loss_roi_cls = jnp.mean(jnp.stack(roi_cls))
+        loss_roi_reg = jnp.mean(jnp.stack(roi_reg))
+
+        total = loss_rpn_cls + loss_rpn_reg + loss_roi_cls + loss_roi_reg
+        return total, {
+            "loss": total, "rpn_cls": loss_rpn_cls,
+            "rpn_reg": loss_rpn_reg, "roi_cls": loss_roi_cls,
+            "roi_reg": loss_roi_reg,
+        }
+
+    @jax.jit
+    def train_step(params, opt_state, key, images, gt_boxes, gt_valid):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, key, images, gt_boxes, gt_valid)
+        deltas, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, deltas)
+        return params, opt_state, metrics
+
+    return train_step
