@@ -44,16 +44,29 @@ class DetectorConfig:
     rcnn_score_thr: float = 0.05
     rcnn_iou_thr: float = 0.5
     rcnn_max: int = 100
-    # proposals entering the RoI head: top-K by RPN score. mmdet feeds all
-    # rpn_max=1000 (test_cfg :175-185), but after IoU-0.7 NMS most slots
-    # are invalid padding and the rest rank far below the pipeline's 0.85
-    # detection threshold — RoI gathers are the detector's bandwidth sink
-    # on TPU, so K=256 keeps result parity while cutting 4x the gather
-    # bytes. Set to rpn_max for exact mmdet-shape parity runs.
-    rcnn_roi_topk: int = 256
+    # proposals entering the RoI head: top-K by RPN score. mmdet feeds
+    # all rpn_max=1000 (test_cfg :175-185); the DEFAULT here matches
+    # that exactly (no truncation). RoI gathers are the detector's
+    # bandwidth sink on TPU, so the serving preset opts into a smaller
+    # K (see ``DetectorConfig.serving()``): a final detection above the
+    # pipeline's 0.85 threshold could in principle come from a proposal
+    # ranked below K by RPN score, so truncation is a measured serving
+    # trade-off, not the parity default.
+    rcnn_roi_topk: int = 1000
     strides: Tuple[int, ...] = (4, 8, 16, 32, 64)
     finest_scale: float = 56.0
     compute_dtype: Any = jnp.float32
+
+    @classmethod
+    def serving(cls, **overrides) -> "DetectorConfig":
+        """Throughput preset for production serving: smaller RPN/RoI
+        candidate budgets (512 proposals, 128 RoIs). Scenes hold <= 4
+        animals, so the budget cut keeps the same detections at the
+        pipeline's 0.85 threshold in practice, but it is an OPT-IN
+        trade-off — the default config is exact-mmdet (no truncation)."""
+        kw: dict = dict(rpn_nms_pre=512, rpn_max=512, rcnn_roi_topk=128)
+        kw.update(overrides)
+        return cls(**kw)
 
 
 class FPN(nn.Module):

@@ -81,6 +81,39 @@ def quantize_dense(params: dict) -> dict:
     return out
 
 
+def quantize_swin_params(variables: dict) -> dict:
+    """Quantize a SwinMaskRCNN (or bare SwinBackbone) variable tree's
+    block Dense layers (qkv/proj/fc1/fc2 in every stage block) to the
+    Int8Dense layout. FPN / RPN / RoI-head convs and the patch
+    embed/merge projections stay in the float path. The returned tree
+    applies with ``SwinConfig(quantize="int8")``."""
+
+    def quantize_backbone(bb: dict) -> dict:
+        bb = dict(bb)
+        for name in list(bb.keys()):
+            if "_block" not in name:
+                continue
+            blk = dict(bb[name])
+            attn = dict(blk["attn"])
+            attn["qkv"] = quantize_dense(attn["qkv"])
+            attn["proj"] = quantize_dense(attn["proj"])
+            blk["attn"] = attn
+            blk["fc1"] = quantize_dense(blk["fc1"])
+            blk["fc2"] = quantize_dense(blk["fc2"])
+            bb[name] = blk
+        return bb
+
+    variables = jax.tree.map(lambda x: x, variables)  # shallow copy
+    params = dict(variables["params"])
+    if "backbone" in params:
+        params["backbone"] = quantize_backbone(params["backbone"])
+    else:  # bare SwinBackbone tree
+        params = quantize_backbone(params)
+    out = dict(variables)
+    out["params"] = params
+    return out
+
+
 def quantize_vitpose_params(variables: dict) -> dict:
     """Quantize a ViTPose variable tree's transformer Dense layers
     (qkv/proj/fc1/fc2 in every block) to the Int8Dense layout. The

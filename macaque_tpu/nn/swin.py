@@ -35,6 +35,10 @@ class SwinConfig:
     ln_eps: float = 1e-5
     compute_dtype: Any = jnp.float32
     use_pallas_attention: bool = False  # packed-qkv fused window attention
+    # "int8": serve the block Dense layers (qkv/proj/fc1/fc2) with
+    # weight + dynamic-activation int8 (nn/quant.py scheme; v5e MXU
+    # int8 runs ~2x bf16). Apply quantize_swin_params to the variables.
+    quantize: Any = None
 
     @property
     def out_channels(self) -> Tuple[int, ...]:
@@ -51,6 +55,17 @@ def _rel_pos_index(window: int) -> np.ndarray:
     return rel[..., 0] * (2 * window - 1) + rel[..., 1]
 
 
+def _dense(cfg: "SwinConfig", features: int, name: str,
+           use_bias: bool = True):
+    """Block Dense layer, switchable to the int8 serving kernel."""
+    if cfg.quantize == "int8":
+        from macaque_tpu.nn.quant import Int8Dense
+
+        return Int8Dense(features, use_bias=use_bias, name=name)
+    return nn.Dense(features, use_bias=use_bias, dtype=cfg.compute_dtype,
+                    name=name)
+
+
 class WindowAttention(nn.Module):
     cfg: SwinConfig
     dim: int
@@ -62,7 +77,7 @@ class WindowAttention(nn.Module):
         c = self.cfg
         B_, N, C = x.shape
         head_dim = C // self.heads
-        qkv = nn.Dense(3 * C, use_bias=True, dtype=c.compute_dtype, name="qkv")(x)
+        qkv = _dense(c, 3 * C, "qkv", use_bias=True)(x)
 
         table = self.param(
             "rel_bias",
@@ -92,7 +107,7 @@ class WindowAttention(nn.Module):
             out = fused_window_attention_blocked(
                 qkv, bias_hnm.astype(jnp.float32), mask, heads=self.heads
             )
-            return nn.Dense(C, dtype=c.compute_dtype, name="proj")(out)
+            return _dense(c, C, "proj")(out)
 
         qkv = qkv.reshape(B_, N, 3, self.heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
@@ -113,7 +128,7 @@ class WindowAttention(nn.Module):
         # MXU rate
         out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(v.dtype), v)
         out = out.reshape(B_, N, C)
-        return nn.Dense(C, dtype=c.compute_dtype, name="proj")(out)
+        return _dense(c, C, "proj")(out)
 
 
 def _window_partition(x, w):
@@ -175,9 +190,9 @@ class SwinBlock(nn.Module):
         x = shortcut + x
 
         h = FusedLayerNorm(epsilon=c.ln_eps, name="ln2")(x)
-        h = nn.Dense(int(C * c.mlp_ratio), dtype=c.compute_dtype, name="fc1")(h)
+        h = _dense(c, int(C * c.mlp_ratio), "fc1")(h)
         h = nn.gelu(h, approximate=False)
-        h = nn.Dense(C, dtype=c.compute_dtype, name="fc2")(h)
+        h = _dense(c, C, "fc2")(h)
         return x + h
 
 

@@ -25,6 +25,42 @@ import tempfile
 import time
 
 
+def _build_random_fullsize_perception():
+    """Full-size serving-preset FlaxPerception with RANDOM weights —
+    identical compute/time to converted weights (values don't change
+    schedules), so it measures real step-1 device cost + decode overlap
+    without shipping checkpoints. Detections are garbage; the fixed-
+    capacity chunk programs run the same either way."""
+    import jax
+    import jax.numpy as jnp
+
+    from macaque_tpu.nn import (
+        ViTPose, VitPoseConfig, SwinMaskRCNN, DetectorConfig,
+        ResNetClassifier, ResNetConfig,
+    )
+    from macaque_tpu.nn.swin import SwinConfig
+    from macaque_tpu.pipeline.perception import FlaxPerception
+
+    dtype = jnp.bfloat16
+    det = SwinMaskRCNN(DetectorConfig.serving(
+        swin=SwinConfig(compute_dtype=dtype), compute_dtype=dtype))
+    # int8 serving pose: Int8Dense params init directly in quantized
+    # layout (zeros — timing-identical to converted weights)
+    pose_cfg = VitPoseConfig(compute_dtype=dtype,
+                             use_pallas_attention=True,
+                             quantize="int8")
+    pose = ViTPose(pose_cfg)
+    idm = ResNetClassifier(ResNetConfig(compute_dtype=dtype))
+
+    rng = jax.random.PRNGKey(0)
+    det_vars = jax.jit(det.init)(rng, jnp.zeros((1, 128, 96, 3)))
+    pose_vars = jax.jit(pose.init)(
+        rng, jnp.zeros((1, *pose_cfg.img_size, 3)))
+    id_vars = jax.jit(idm.init)(rng, jnp.zeros((1, 224, 224, 3)))
+    return FlaxPerception(det, det_vars, pose, pose_vars, idm, id_vars,
+                          max_det=4)
+
+
 def run(n_frame: int = 120, n_cam: int = 4, render: bool = True,
         root: str | None = None) -> dict:
     from macaque_tpu.tools.synthetic import (
@@ -80,6 +116,27 @@ def run(n_frame: int = 120, n_cam: int = 4, render: bool = True,
     one_pass("warmup")          # compile everything once
     stages = one_pass("timed")  # measured pass, fresh artifact dirs
 
+    # ---- step 1 with the REAL full-size models (random weights — same
+    # compute/timing as converted weights) to measure the decode-ahead
+    # overlap: video decode of chunk N+1 runs under the device time of
+    # chunk N (pipeline/step1.py double buffering), so measured step-1
+    # wall clock ~= max(decode, device) + assembly, not their sum.
+    step1_real_s = None
+    if os.environ.get("BENCH_STEP1_REAL", "1") == "1":
+        import jax
+
+        if jax.default_backend() != "cpu":
+            try:
+                perc = _build_random_fullsize_perception()
+                for tag in ("real_warm", "real_timed"):
+                    results = os.path.join(tmp, f"results_{tag}")
+                    t0 = time.time()
+                    run_step1("synth", results, raw, lambda cam: perc,
+                              chunk=16)
+                    step1_real_s = time.time() - t0
+            except Exception as e:  # noqa: BLE001
+                print(f"step1_real failed: {e}", file=sys.stderr)
+
     # context for the stage timings: each host<->device round trip costs
     # this much on the current backend (on a remote-tunneled device this
     # dominates the tiny per-stage programs of steps 2-4; on a local TPU
@@ -104,6 +161,14 @@ def run(n_frame: int = 120, n_cam: int = 4, render: bool = True,
         "pipeline_cf_s": round(n_cf / total, 2),
         "device_round_trip_s": round(null_fetch_s, 3),
     }
+    if step1_real_s is not None:
+        # measured end-to-end: real step1 (decode overlapped with device
+        # inference, serving preset) + the host stages 2-4 + render
+        rest = total - stages["step1_host"]
+        out["step1_real_s"] = round(step1_real_s, 3)
+        out["e2e_measured_s"] = round(step1_real_s + rest, 3)
+        out["e2e_measured_cf_s"] = round(
+            n_cf / (step1_real_s + rest), 2)
     if root is None:
         shutil.rmtree(tmp, ignore_errors=True)
     return out

@@ -58,8 +58,13 @@ def build_flax_perception(weights_dir: str):
     # MACAQUE_TPU_INT8=1: int8 serving path for the ViT pose blocks
     # (nn/quant.py; pose stage 204 -> 157 ms/chunk measured on v5e)
     int8 = os.environ.get("MACAQUE_TPU_INT8", "0") == "1"
-    det = SwinMaskRCNN(DetectorConfig(
-        swin=SwinConfig(compute_dtype=dtype), compute_dtype=dtype))
+    # MACAQUE_TPU_SERVING=1: detector serving preset (smaller RPN/RoI
+    # budgets; DetectorConfig.serving) — default is exact-mmdet parity
+    serving = os.environ.get("MACAQUE_TPU_SERVING", "0") == "1"
+    det_kw = dict(swin=SwinConfig(compute_dtype=dtype),
+                  compute_dtype=dtype)
+    det = SwinMaskRCNN(DetectorConfig.serving(**det_kw) if serving
+                       else DetectorConfig(**det_kw))
     pose = ViTPose(VitPoseConfig(
         compute_dtype=dtype,
         # packed-qkv pallas attention (bf16 dots, blocked crops)

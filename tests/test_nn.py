@@ -334,6 +334,7 @@ def test_roi_align_constant_and_linear():
 
 # ------------------------------------------------------------- detector
 
+@pytest.mark.slow
 def test_detector_smoke():
     from macaque_tpu.nn.detector import SwinMaskRCNN, DetectorConfig
     from macaque_tpu.nn.swin import SwinConfig
@@ -351,6 +352,41 @@ def test_detector_smoke():
     assert boxes.shape == (10, 4)
     assert scores.shape == (10,)
     assert valid.shape == (10,)
+
+
+@pytest.mark.slow
+def test_detector_default_is_untruncated_mmdet_parity():
+    """The DEFAULT config must feed every RPN proposal to the RoI head
+    exactly like mmdet (test_cfg rpn_max=1000, ref detection config
+    :175-185); RoI truncation is only the opt-in serving preset. Checked
+    both as a config invariant and functionally: topk == rpn_max must be
+    bit-identical to an effectively-unlimited topk."""
+    from macaque_tpu.nn.detector import SwinMaskRCNN, DetectorConfig
+    from macaque_tpu.nn.swin import SwinConfig
+
+    # config invariant: no truncation by default, serving preset opts in
+    d = DetectorConfig()
+    assert d.rcnn_roi_topk >= d.rpn_max
+    s = DetectorConfig.serving()
+    assert s.rcnn_roi_topk < s.rpn_max
+
+    kw = dict(
+        swin=SwinConfig(embed_dim=16, depths=(1, 1, 1, 1),
+                        num_heads=(1, 2, 4, 8)),
+        rpn_nms_pre=50, rpn_max=50, rcnn_max=10,
+    )
+    full = SwinMaskRCNN(DetectorConfig(rcnn_roi_topk=50, **kw))
+    huge = SwinMaskRCNN(DetectorConfig(rcnn_roi_topk=100000, **kw))
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.normal(size=(1, 128, 96, 3)).astype(np.float32))
+    variables = full.init(jax.random.PRNGKey(1), img)
+    b0, s0, v0 = full.apply(variables, img)
+    b1, s1, v1 = huge.apply(variables, img)
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=0,
+                               atol=0)
+    np.testing.assert_allclose(np.asarray(b0), np.asarray(b1), rtol=0,
+                               atol=0)
 
 
 def test_roi_align_pyramid_matches_per_level():

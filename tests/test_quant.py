@@ -1,6 +1,7 @@
 """int8 quantized ViTPose serving path (nn/quant.py)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -74,3 +75,32 @@ def test_int8_vitpose_close_to_f32():
     # decode must still run end-to-end on the quantized output
     kp8, scores8 = udp_decode(jnp.asarray(hm8))
     assert np.isfinite(np.asarray(kp8)).all()
+
+
+@pytest.mark.slow
+def test_int8_swin_close_to_f32():
+    """int8 serving path for the Swin trunk: same features to within
+    quantization noise on a tiny backbone."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from macaque_tpu.nn.swin import SwinBackbone, SwinConfig
+    from macaque_tpu.nn.quant import quantize_swin_params
+
+    cfg32 = SwinConfig(embed_dim=16, depths=(1, 1), num_heads=(1, 2))
+    cfg8 = SwinConfig(embed_dim=16, depths=(1, 1), num_heads=(1, 2),
+                      quantize="int8")
+    m32 = SwinBackbone(cfg32)
+    m8 = SwinBackbone(cfg8)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(1, 56, 56, 3)).astype(np.float32))
+    v32 = m32.init(jax.random.PRNGKey(0), x)
+    v8 = quantize_swin_params(v32)
+    outs32 = m32.apply(v32, x)
+    outs8 = m8.apply(v8, x)
+    assert len(outs32) == len(outs8) == 2
+    for a, b in zip(outs32, outs8):
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-9)
+        assert rel < 0.05, rel
