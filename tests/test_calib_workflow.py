@@ -101,6 +101,7 @@ def test_render_detect_roundtrip():
     assert d.min(axis=0).mean() < 0.7
 
 
+@pytest.mark.slow
 def test_chessboard_video_to_intrinsics(tmp_path):
     cfg_dir = tmp_path
     vid_dir = cfg_dir / "chessboard"

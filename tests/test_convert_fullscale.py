@@ -25,6 +25,8 @@ Architectures (reference configs):
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 jax = pytest.importorskip("jax")
 import jax.numpy as jnp  # noqa: E402
 

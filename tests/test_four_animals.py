@@ -6,6 +6,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from macaque_tpu.pipeline.artifacts import write_alldata, read_pickle
 from macaque_tpu.pipeline.step2 import run_step2
 from macaque_tpu.pipeline.step3 import run_step3

@@ -49,6 +49,7 @@ def test_packed_qkv_attention_matches_reference():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_vitpose_pallas_flag_matches_xla():
     """ViTPose forward with the packed pallas attention must match the
     XLA path (interpreter-mode pallas on CPU)."""

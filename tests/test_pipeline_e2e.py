@@ -8,6 +8,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from macaque_tpu.core.config import (
     PipelineConfig, CrossViewConfig, VALID_COLLAR_CLASSES,
 )

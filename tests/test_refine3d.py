@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from macaque_tpu.cameras import omnidir_project, omnidir_undistort
@@ -90,6 +91,7 @@ def test_refine_fixed_joint_lengths():
     assert np.abs(lengths - true_len[None]).max() < 12.0
 
 
+@pytest.mark.slow
 def test_refine_matches_scipy_least_squares():
     """The LM-CG solver must reach the same optimum as scipy TRF on the
     identical residual vector (the reference's solver; cameras.py:1166)."""

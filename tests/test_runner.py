@@ -4,6 +4,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 from macaque_tpu.core.config import PipelineConfig
 from macaque_tpu.pipeline.runner import run_pipeline
@@ -13,6 +14,7 @@ from macaque_tpu.tools.synthetic import (
 )
 
 
+@pytest.mark.slow
 def test_run_pipeline_manifest_and_render(tmp_path):
     raw = str(tmp_path / "videos")
     results = str(tmp_path / "results")

@@ -11,6 +11,7 @@ protocol (DONE flag -> skip) and the sweep_log.csv schema
 import os
 
 import numpy as np
+import pytest
 
 from macaque_tpu.pipeline.artifacts import write_pickle
 from macaque_tpu.tools.sweep import (
@@ -112,6 +113,7 @@ def test_sweep_grid_size():
     assert len({p.tag() for p in g}) == len(g)
 
 
+@pytest.mark.slow
 def test_run_synthetic_sweep_real_pipeline(tmp_path):
     """The CLI path: steps 1-4 over a small grid on a synthetic scene
     (oracle perception); all rows complete with near-perfect metrics."""

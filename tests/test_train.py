@@ -4,6 +4,7 @@ and ID networks (reference training configs: model/pose/td-hm_...py
 optim_wrapper/param_scheduler/codec, model/id/..._finetuned.py loss)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -69,6 +70,7 @@ def test_layer_decay_scales():
     assert bynd["backbone/block0/attn/qkv/kernel"] is False
 
 
+@pytest.mark.slow
 def test_pose_training_reduces_loss():
     from macaque_tpu.nn import ViTPose, VitPoseConfig
     from macaque_tpu.nn.train import (
@@ -100,6 +102,7 @@ def test_pose_training_reduces_loss():
     assert losses[-1] < losses[0] * 0.5, losses[::10]
 
 
+@pytest.mark.slow
 def test_id_training_reduces_loss_and_loss_matches_manual():
     from macaque_tpu.nn.resnet import ResNetClassifier, ResNetConfig
     from macaque_tpu.nn.train import (
