@@ -49,10 +49,24 @@ def _ln(x, scale, bias, eps):
     return y.astype(x.dtype)
 
 
+def _erf_poly(x):
+    """Abramowitz & Stegun 7.1.26 rational erf (|err| < 1.5e-7 —
+    far below bf16 resolution); Mosaic has no erf primitive."""
+    a = (0.254829592, -0.284496736, 1.421413741,
+         -1.453152027, 1.061405429)
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a[0] + t * (a[1] + t * (a[2] + t * (a[3] + t * a[4]))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 def _gelu_exact(x):
-    # exact-erf GELU, matching swin.py's nn.gelu(approximate=False)
+    # erf GELU matching swin.py's nn.gelu(approximate=False) to within
+    # the polynomial's 1.5e-7
     xf = x.astype(jnp.float32)
-    y = 0.5 * xf * (1.0 + jax.lax.erf(xf * np.float32(1 / np.sqrt(2))))
+    y = 0.5 * xf * (1.0 + _erf_poly(xf * np.float32(1 / np.sqrt(2))))
     return y.astype(x.dtype)
 
 
