@@ -86,9 +86,10 @@ def _swin_block_kernel(
     h = _ln(x, ln1s_ref[:], ln1b_ref[:], eps)
     # spatial-pad tokens are EXACT zeros entering attention in the XLA
     # path (padded after LN1, swin.py SwinBlock); reproduce that so
-    # their qkv contributions (bias-only k/v) match bit-for-bit
-    tv = tvalid_ref[:].reshape(G * T, 1)
-    h = jnp.where(tv > 0, h, jnp.zeros_like(h))
+    # their qkv contributions (bias-only k/v) match bit-for-bit.
+    # tvalid arrives pre-shaped (G*T, 1): Mosaic rejects the in-kernel
+    # (G, T) -> (G*T, 1) cast (remote-compile bisect, round 3)
+    h = jnp.where(tvalid_ref[:] > 0, h, jnp.zeros_like(h))
 
     qkv = jax.lax.dot_general(
         h, qkvw_ref[:], (((1,), (0,)), ((), ())),
@@ -187,6 +188,7 @@ def fused_swin_block(
                  ((0, padw), (0, PAD_T - N)))
     nWp = nW + padw
     x = x.reshape(nWp * PAD_T, C)
+    tv = tv.reshape(nWp * PAD_T, 1)
 
     bias_p = pad_window_bias(bias_hnm)
     if with_mask:
@@ -206,7 +208,7 @@ def fused_swin_block(
     p = params
     in_specs = [
         pl.BlockSpec((R, C), lambda i: (i, 0), memory_space=mem),
-        pl.BlockSpec((G, PAD_T), lambda i: (i, 0), memory_space=mem),
+        pl.BlockSpec((R, 1), lambda i: (i, 0), memory_space=mem),
         const((heads, PAD_T, PAD_T)),
         (pl.BlockSpec((G, PAD_T, PAD_T), lambda i: (i, 0, 0),
                       memory_space=mem)
