@@ -137,6 +137,7 @@ def main():
     # detections at the 0.85 pipeline threshold while cutting the
     # head's NMS + RoI work. Reported separately like pose_int8.
     det_fast_ms = None
+    det_640_ms = None
     if os.environ.get("BENCH_DET_FAST", "1") == "1":
         # BENCH_DET_INT8=1 additionally serves the Swin trunk's block
         # Dense layers in int8 (nn/quant.quantize_swin_params scheme)
@@ -162,6 +163,36 @@ def main():
         det_fast_ms = measure("detect_fast", det_loop_fast, fast_vars,
                               frames) * 1000
         del fast_vars
+
+    # fast tier: serving detector at 640x480 input (2048x1536 source
+    # keep-ratio-resized to target 640 instead of mmdet's 800). The
+    # trunk is layout-bound, so compute scales ~with pixel count
+    # (measured 88 vs 128 ms/chunk). Resolution is an accuracy
+    # trade-off the reference never makes — reported as its own tier,
+    # never folded into the parity or serving numbers.
+    if os.environ.get("BENCH_FAST", "1") == "1":
+        H6, W6 = 640, 480
+        frames640 = jnp.asarray(
+            npr.integers(0, 255, (B, H6, W6, 3), dtype=np.uint8))
+        fast_model = SwinMaskRCNN(DetectorConfig.serving(
+            swin=SwinConfig(compute_dtype=dtype,
+                            use_pallas_attention=swin_pallas),
+            compute_dtype=dtype,
+        ))
+        fast_vars = make_vars(fast_model, jnp.zeros((1, H6, W6, 3)))
+
+        def det_loop_640(n, det_vars, frames):
+            def body(i, carry):
+                f = frames + carry.astype(jnp.uint8)
+                imgs = normalize_rgb(f.astype(jnp.float32))
+                b, s, v = detect_frames(fast_model, det_vars, imgs)
+                return jnp.sum(s).astype(jnp.int32) % 3 + i * 0
+
+            return jax.lax.fori_loop(0, n, body, jnp.int32(0))
+
+        det_640_ms = measure("detect_640", det_loop_640, fast_vars,
+                             frames640) * 1000
+        del fast_vars, frames640
     del det_vars
 
     # ------------------------------------------------------------ pose
@@ -210,6 +241,7 @@ def main():
     # knob (quantization accuracy is bounded by tests/test_quant.py but
     # unvalidated against real checkpoints in this environment).
     pose_int8_ms = None
+    pose_noflip_ms = None
     if os.environ.get("BENCH_POSE_INT8", "1") == "1":
         from macaque_tpu.nn.quant import quantize_vitpose_params
 
@@ -234,6 +266,24 @@ def main():
 
         pose_int8_ms = measure("pose_int8", pose_loop_q, q_vars, frames,
                                boxes) * 1000
+
+        # fast tier: single-pass int8 pose (flip-test averaging off —
+        # mmpose's own flip_test=False mode; exactly halves the pose
+        # FLOPs, which run at ~83% of the bf16 MXU roofline)
+        if os.environ.get("BENCH_FAST", "1") == "1":
+            def pose_loop_nf(n, q_vars, frames, boxes):
+                def body(i, carry):
+                    f = frames + carry.astype(jnp.uint8)
+                    crops, centers, scales = crops_from(f, boxes)
+                    hm = q_model.apply(q_vars, crops).astype(jnp.float32)
+                    kp, ks = udp_decode(hm)
+                    kp = crop_coords_to_image(kp, centers, scales)
+                    return jnp.sum(kp).astype(jnp.int32) % 3 + i * 0
+
+                return jax.lax.fori_loop(0, n, body, jnp.int32(0))
+
+            pose_noflip_ms = measure("pose_noflip_int8", pose_loop_nf,
+                                     q_vars, frames, boxes) * 1000
         del q_vars
     del pose_vars
 
@@ -311,6 +361,18 @@ def main():
         total_s = (total - results["pose"] - results["det"]
                    + pose_int8_ms / 1000 + det_fast_ms / 1000)
         detail["kernel_cf_s_serving"] = round(B / total_s, 2)
+    if det_640_ms is not None:
+        detail["det_640_ms"] = round(det_640_ms, 1)
+    if pose_noflip_ms is not None:
+        detail["pose_noflip_int8_ms"] = round(pose_noflip_ms, 1)
+    if det_640_ms is not None and pose_noflip_ms is not None:
+        # fast tier: 640x480 serving detector + single-pass int8 pose.
+        # Documented accuracy trade-offs (input resolution, no flip
+        # averaging) — see ARCHITECTURE.md "Roofline" for why the
+        # parity-semantics tiers cannot reach this on v5e.
+        total_f = (total - results["pose"] - results["det"]
+                   + pose_noflip_ms / 1000 + det_640_ms / 1000)
+        detail["kernel_cf_s_fast"] = round(B / total_f, 2)
     cf_per_s = kernel_cf_s
     if os.environ.get("BENCH_PIPELINE", "1") == "1":
         import subprocess

@@ -51,6 +51,11 @@ class FlaxPerception:
     id_vars: dict
     max_det: int = 8
     flip_test: bool = True
+    # keep-ratio resize target for the detector input (mmdet's test
+    # pipeline uses 800, step1:104-109). The fast serving tier drops to
+    # 640 — a measured accuracy/throughput trade-off (ARCHITECTURE.md
+    # "Roofline"), never the parity default.
+    det_target: int = 800
     mesh: object = None
 
     def __post_init__(self):
@@ -79,10 +84,12 @@ class FlaxPerception:
         D = self.max_det
         flip = self.flip_test
 
+        det_target = self.det_target
+
         @jax.jit
         def _detect(frames):  # (B, H, W, 3) uint8 BGR
             rgb = frames[..., ::-1].astype(jnp.float32)
-            padded, scale, _ = detector_input_batch(rgb)
+            padded, scale, _ = detector_input_batch(rgb, target=det_target)
             boxes, scores, valid = detect_frames(det_model, det_vars, padded)
             boxes = boxes / scale
             k = min(D, boxes.shape[1])

@@ -61,6 +61,13 @@ def build_flax_perception(weights_dir: str):
     # MACAQUE_TPU_SERVING=1: detector serving preset (smaller RPN/RoI
     # budgets; DetectorConfig.serving) — default is exact-mmdet parity
     serving = os.environ.get("MACAQUE_TPU_SERVING", "0") == "1"
+    # MACAQUE_TPU_FAST=1: max-throughput tier — serving detector at
+    # 640 input (vs mmdet's 800), single-pass int8 pose (flip-test
+    # averaging off), implying SERVING and INT8. Documented accuracy
+    # trade-offs; see ARCHITECTURE.md "Roofline".
+    fast = os.environ.get("MACAQUE_TPU_FAST", "0") == "1"
+    if fast:
+        serving = int8 = True
     det_kw = dict(swin=SwinConfig(compute_dtype=dtype),
                   compute_dtype=dtype)
     det = SwinMaskRCNN(DetectorConfig.serving(**det_kw) if serving
@@ -86,7 +93,9 @@ def build_flax_perception(weights_dir: str):
     id_vars = jax.tree.map(jnp.asarray, convert_resnet(
         load_torch_checkpoint(os.path.join(weights_dir, "id/id_finetuned.pth"))
     ))
-    return FlaxPerception(det, det_vars, pose, pose_vars, idm, id_vars)
+    return FlaxPerception(det, det_vars, pose, pose_vars, idm, id_vars,
+                          flip_test=not fast,
+                          det_target=640 if fast else 800)
 
 
 def run_synthetic(root: str, n_frame: int = 120, render: bool = True):

@@ -90,6 +90,31 @@ def test_detect_batch_matches_single(perception):
         np.testing.assert_array_equal(np.asarray(vb[i]), np.asarray(v1))
 
 
+def test_perception_fast_preset(perception):
+    """The MACAQUE_TPU_FAST tier (run_demo.build_flax_perception):
+    smaller detector input target + single-pass pose (flip_test=False)
+    keeps the same output contract."""
+    p = FlaxPerception(
+        perception.detector_model, perception.detector_vars,
+        perception.pose_model, perception.pose_vars,
+        perception.id_model, perception.id_vars,
+        max_det=4, flip_test=False, det_target=96,
+    )
+    rng = np.random.default_rng(2)
+    frames = rng.integers(0, 255, (2, 130, 100, 3), dtype=np.uint8)
+    boxes, scores = p.detect(frames)
+    assert boxes.shape == (2, 4, 4) and scores.shape == (2, 4)
+    # boxes come back in ORIGINAL image coordinates whatever the
+    # detector's resize target is
+    assert np.nanmax(boxes) <= 135.0
+
+    tb = np.tile(np.array([10.0, 10, 60, 90]), (2, 4, 1))
+    valid = np.ones((2, 4), bool)
+    kps = p.pose(frames, tb, valid)
+    assert kps.shape == (2, 4, 17, 3)
+    assert np.isfinite(np.asarray(kps)).all()
+
+
 def test_perception_int8_pose_path():
     """FlaxPerception with the int8-quantized pose model (the
     MACAQUE_TPU_INT8 serving toggle in run_demo.build_flax_perception)
