@@ -389,23 +389,57 @@ def main():
             t_e2e = t_kernel + pipe["pipeline_rest_s"]
             cf_per_s = n_cf / t_e2e
             detail["pipeline"] = pipe
+            # additive e2e per tier (kernel time scaled to n_cf + the
+            # measured non-kernel wall clock)
+            def additive(chunk_s):
+                return round(
+                    n_cf / (n_cf * chunk_s / B + pipe["pipeline_rest_s"]),
+                    2)
+            for tier_key, out_key in (
+                    ("kernel_cf_s_serving", "e2e_additive_serving_cf_s"),
+                    ("kernel_cf_s_fast", "e2e_additive_fast_cf_s")):
+                if tier_key in detail:
+                    detail[out_key] = additive(B / detail[tier_key])
             log(f"pipeline rest {pipe['pipeline_rest_s']:.1f}s for {n_cf} "
                 f"camera-frames (stages {pipe['stages_s']}); combined "
-                f"e2e (additive model, bf16 kernels) {cf_per_s:.1f} cf/s")
+                f"e2e (additive model, parity bf16 kernels) "
+                f"{cf_per_s:.1f} cf/s")
             if "e2e_measured_cf_s" in pipe:
                 # measured end-to-end: real full-size serving models in
                 # step 1 with decode overlapped under device time, plus
-                # the host stages + render — supersedes the additive
-                # kernel+rest model
-                cf_per_s = pipe["e2e_measured_cf_s"]
+                # the host stages + render. Supersedes the additive
+                # kernel+rest model ONLY on a locally-attached device:
+                # through a remote tunnel every one of step 1's
+                # per-chunk host<->device round trips costs a fixed
+                # ~0.3-0.5 s (measured device_round_trip_s), which
+                # swamps the compute at this scale and says nothing
+                # about a production host.
+                local_device = pipe.get("device_round_trip_s", 1.0) < 0.005
+                if local_device:
+                    cf_per_s = pipe["e2e_measured_cf_s"]
                 log(f"measured e2e (serving preset, decode-ahead): "
                     f"step1 {pipe['step1_real_s']:.1f}s -> "
-                    f"{cf_per_s:.1f} cf/s")
+                    f"{pipe['e2e_measured_cf_s']:.1f} cf/s"
+                    + ("" if local_device else
+                       f" [tunnel-dominated: {pipe['device_round_trip_s']*1e3:.0f} ms/round-trip; headline keeps the additive model]"))
+            if "e2e_fast_cf_s" in pipe:
+                # reported in detail only — the headline value keeps
+                # the serving tier's reference-parity semantics
+                log(f"measured e2e (fast tier, documented accuracy "
+                    f"trade-offs): {pipe['e2e_fast_cf_s']:.1f} cf/s")
         except Exception as e:  # noqa: BLE001 — report kernel-only number
             log(f"pipeline bench failed ({e}); reporting kernel-only")
             detail["pipeline_error"] = str(e)
 
     baseline = 6.4
+    # round-2 comparability: the r02 "det 160 ms / 43.3 cf/s" numbers
+    # were measured at the then-default rcnn_roi_topk=256 truncation —
+    # today's serving family. The parity default is now exact-mmdet
+    # (1000 RoIs, chunked RoIAlign), which costs more and is reported
+    # honestly as its own tier.
+    detail["tier_note"] = (
+        "value = parity-semantics additive e2e; serving/fast tiers in "
+        "detail (see ARCHITECTURE.md 3b)")
     print(json.dumps({
         "metric": "e2e_camera_frames_per_sec_per_chip",
         "value": round(cf_per_s, 2),

@@ -53,6 +53,13 @@ class DetectorConfig:
     # ranked below K by RPN score, so truncation is a measured serving
     # trade-off, not the parity default.
     rcnn_roi_topk: int = 1000
+    # RoIs per sequenced RoIAlign chunk. The windowed RoIAlign's
+    # intermediate is (B, R_chunk, 48, 48, C) — at the parity budget
+    # (16 imgs x 1000 RoIs) materializing it whole would need 18.9 GB
+    # (> v5e's 16 GB HBM), so the head lax.map's the align in chunks;
+    # the (B, R, 7, 7, C) outputs (~400 MB) stay batched for the box
+    # head. 256 RoIs/chunk = the 4.7 GB peak the serving preset runs.
+    rcnn_roi_chunk: int = 256
     strides: Tuple[int, ...] = (4, 8, 16, 32, 64)
     finest_scale: float = 56.0
     compute_dtype: Any = jnp.float32
@@ -226,12 +233,30 @@ class SwinMaskRCNN(nn.Module):
         # measured 54 -> ~7 ms per 16x256-RoI chunk vs the flat-gather
         # path on v5e. Box coords stay f32 — bf16 cannot resolve
         # sub-pixel positions.
-        roi_feats = roi_align_windowed(
-            [f.astype(c.compute_dtype) for f in fpn_feats[:4]],
-            proposals, lvl, 7, c.strides,
-        )                                          # (B, R, 7, 7, C)
-
+        feats4 = [f.astype(c.compute_dtype) for f in fpn_feats[:4]]
         R = proposals.shape[1]
+        Rc = min(c.rcnn_roi_chunk, R)
+        if R <= Rc:
+            roi_feats = roi_align_windowed(
+                feats4, proposals, lvl, 7, c.strides,
+            )                                      # (B, R, 7, 7, C)
+        else:
+            # sequence the align in Rc-RoI chunks (HBM bound, see
+            # rcnn_roi_chunk); pad R up to a chunk multiple, slice back
+            n_ch = -(-R // Rc)
+            pad_r = n_ch * Rc - R
+            prop_p = jnp.pad(proposals, ((0, 0), (0, pad_r), (0, 0)))
+            lvl_p = jnp.pad(lvl, ((0, 0), (0, pad_r)))
+            chunks_p = jnp.moveaxis(
+                prop_p.reshape(B, n_ch, Rc, 4), 1, 0)
+            chunks_l = jnp.moveaxis(lvl_p.reshape(B, n_ch, Rc), 1, 0)
+            rf = jax.lax.map(
+                lambda a: roi_align_windowed(feats4, a[0], a[1], 7,
+                                             c.strides),
+                (chunks_p, chunks_l),
+            )                                  # (n_ch, B, Rc, 7, 7, C)
+            roi_feats = jnp.moveaxis(rf, 0, 1).reshape(
+                B, n_ch * Rc, *rf.shape[3:])[:, :R]
         cls_logits, reg = self.bbox_head(
             roi_feats.reshape(B * R, *roi_feats.shape[2:])
             .astype(c.compute_dtype)

@@ -76,18 +76,19 @@ class FlaxPerception:
         from macaque_tpu.nn.detector import detect_frames
 
         det_model = self.detector_model
-        det_vars = self.detector_vars
         pose_model = self.pose_model
-        pose_vars = self.pose_vars
         id_model = self.id_model
-        id_vars = self.id_vars
         D = self.max_det
         flip = self.flip_test
 
         det_target = self.det_target
 
+        # weight trees enter every program as jit ARGUMENTS, never as
+        # closed-over values: a closure constant is baked into the
+        # serialized HLO (hundreds of MB for these models), which
+        # bloats compiles and overflows remote-compile transports.
         @jax.jit
-        def _detect(frames):  # (B, H, W, 3) uint8 BGR
+        def _detect(det_vars, frames):  # (B, H, W, 3) uint8 BGR
             rgb = frames[..., ::-1].astype(jnp.float32)
             padded, scale, _ = detector_input_batch(rgb, target=det_target)
             boxes, scores, valid = detect_frames(det_model, det_vars, padded)
@@ -104,7 +105,7 @@ class FlaxPerception:
         pose_aspect = pose_hw[1] / pose_hw[0]
 
         @jax.jit
-        def _pose(frames, boxes, valid):  # boxes (B, D, 4)
+        def _pose(pose_vars, frames, boxes, valid):  # boxes (B, D, 4)
             rgb = frames[..., ::-1].astype(jnp.float32)
             B = frames.shape[0]
             flat_boxes = boxes.reshape(B * D, 4)
@@ -136,7 +137,7 @@ class FlaxPerception:
             return jnp.where(valid[..., None, None], out, jnp.nan)
 
         @jax.jit
-        def _classify(frames, boxes, valid):
+        def _classify(id_vars, frames, boxes, valid):
             rgb = frames[..., ::-1].astype(jnp.float32)
             B = frames.shape[0]
             flat_boxes = boxes.reshape(B * D, 4)
@@ -166,19 +167,19 @@ class FlaxPerception:
 
     def detect(self, frames_bgr):
         frames, n = self._put(frames_bgr)
-        b, s = self._detect_fn(frames)
+        b, s = self._detect_fn(self.detector_vars, frames)
         return np.asarray(b)[:n], np.asarray(s)[:n]
 
     def pose(self, frames_bgr, boxes, valid):
         frames, n = self._put(frames_bgr)
         boxes, _ = self._put(boxes)
         valid, _ = self._put(valid)
-        out = self._pose_fn(frames, boxes, valid)
+        out = self._pose_fn(self.pose_vars, frames, boxes, valid)
         return np.asarray(out)[:n]
 
     def classify(self, frames_bgr, boxes, valid):
         frames, n = self._put(frames_bgr)
         boxes, _ = self._put(boxes)
         valid, _ = self._put(valid)
-        l, s = self._classify_fn(frames, boxes, valid)
+        l, s = self._classify_fn(self.id_vars, frames, boxes, valid)
         return np.asarray(l)[:n], np.asarray(s)[:n]

@@ -25,12 +25,15 @@ import tempfile
 import time
 
 
-def _build_random_fullsize_perception():
+def _build_random_fullsize_perception(fast: bool = False):
     """Full-size serving-preset FlaxPerception with RANDOM weights —
     identical compute/time to converted weights (values don't change
     schedules), so it measures real step-1 device cost + decode overlap
     without shipping checkpoints. Detections are garbage; the fixed-
-    capacity chunk programs run the same either way."""
+    capacity chunk programs run the same either way.
+
+    ``fast=True`` builds the MACAQUE_TPU_FAST tier instead (640-target
+    detector input, single-pass pose — ARCHITECTURE.md "Roofline")."""
     import jax
     import jax.numpy as jnp
 
@@ -58,7 +61,8 @@ def _build_random_fullsize_perception():
         rng, jnp.zeros((1, *pose_cfg.img_size, 3)))
     id_vars = jax.jit(idm.init)(rng, jnp.zeros((1, 224, 224, 3)))
     return FlaxPerception(det, det_vars, pose, pose_vars, idm, id_vars,
-                          max_det=4)
+                          max_det=4, flip_test=not fast,
+                          det_target=640 if fast else 800)
 
 
 def run(n_frame: int = 120, n_cam: int = 4, render: bool = True,
@@ -122,6 +126,7 @@ def run(n_frame: int = 120, n_cam: int = 4, render: bool = True,
     # chunk N (pipeline/step1.py double buffering), so measured step-1
     # wall clock ~= max(decode, device) + assembly, not their sum.
     step1_real_s = None
+    step1_fast_s = None
     if os.environ.get("BENCH_STEP1_REAL", "1") == "1":
         import jax
 
@@ -134,8 +139,24 @@ def run(n_frame: int = 120, n_cam: int = 4, render: bool = True,
                     run_step1("synth", results, raw, lambda cam: perc,
                               chunk=16)
                     step1_real_s = time.time() - t0
+                del perc
             except Exception as e:  # noqa: BLE001
                 print(f"step1_real failed: {e}", file=sys.stderr)
+            if (step1_real_s is not None
+                    and os.environ.get("BENCH_STEP1_FAST", "1") == "1"):
+                # MACAQUE_TPU_FAST tier: 640-target detector +
+                # single-pass int8 pose (ARCHITECTURE.md "Roofline")
+                try:
+                    perc_f = _build_random_fullsize_perception(fast=True)
+                    for tag in ("fast_warm", "fast_timed"):
+                        results = os.path.join(tmp, f"results_{tag}")
+                        t0 = time.time()
+                        run_step1("synth", results, raw,
+                                  lambda cam: perc_f, chunk=16)
+                        step1_fast_s = time.time() - t0
+                    del perc_f
+                except Exception as e:  # noqa: BLE001
+                    print(f"step1_fast failed: {e}", file=sys.stderr)
 
     # context for the stage timings: each host<->device round trip costs
     # this much on the current backend (on a remote-tunneled device this
@@ -169,6 +190,10 @@ def run(n_frame: int = 120, n_cam: int = 4, render: bool = True,
         out["e2e_measured_s"] = round(step1_real_s + rest, 3)
         out["e2e_measured_cf_s"] = round(
             n_cf / (step1_real_s + rest), 2)
+        if step1_fast_s is not None:
+            out["step1_fast_s"] = round(step1_fast_s, 3)
+            out["e2e_fast_cf_s"] = round(
+                n_cf / (step1_fast_s + rest), 2)
     if root is None:
         shutil.rmtree(tmp, ignore_errors=True)
     return out

@@ -389,6 +389,41 @@ def test_detector_default_is_untruncated_mmdet_parity():
                                atol=0)
 
 
+@pytest.mark.slow
+def test_detector_roi_chunking_exact():
+    """Sequencing the windowed RoIAlign in rcnn_roi_chunk-sized pieces
+    (the HBM guard that lets the parity budget 16x1000 RoIs fit v5e's
+    16 GB) must reproduce the single-shot align, including the
+    non-divisible padded tail. Tolerance is reduction-order noise only
+    (different einsum batch shapes tile differently; <= ~5e-7 observed),
+    with identical NMS survivor sets."""
+    from macaque_tpu.nn.detector import SwinMaskRCNN, DetectorConfig
+    from macaque_tpu.nn.swin import SwinConfig
+
+    kw = dict(
+        swin=SwinConfig(embed_dim=16, depths=(1, 1, 1, 1),
+                        num_heads=(1, 2, 4, 8)),
+        rpn_nms_pre=50, rpn_max=50, rcnn_max=10, rcnn_roi_topk=50,
+    )
+    whole = SwinMaskRCNN(DetectorConfig(rcnn_roi_chunk=256, **kw))
+    chunked = SwinMaskRCNN(DetectorConfig(rcnn_roi_chunk=16, **kw))
+
+    rng = np.random.default_rng(11)
+    img = jnp.asarray(rng.normal(size=(2, 128, 96, 3)).astype(np.float32))
+    variables = whole.init(jax.random.PRNGKey(2), img[:1])
+    # compare the plain applies (the production detect_frames path);
+    # an outer vmap would batch every matmul differently and the float
+    # reassociation cascades through two discrete NMS stages
+    for i in range(2):
+        b0, s0, v0 = whole.apply(variables, img[i : i + 1])
+        b1, s1, v1 = chunked.apply(variables, img[i : i + 1])
+        np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+        np.testing.assert_allclose(np.asarray(s0), np.asarray(s1),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(b0), np.asarray(b1),
+                                   rtol=1e-5, atol=5e-4)
+
+
 def test_roi_align_pyramid_matches_per_level():
     from macaque_tpu.nn.ops import roi_align, roi_align_pyramid
 
