@@ -116,19 +116,23 @@ def main():
     ))
     det_vars = make_vars(det_model, jnp.zeros((1, H, W, 3)))
 
-    def det_loop(n, det_vars, frames):
-        def body(i, carry):
-            f = frames + carry.astype(jnp.uint8)
-            imgs = normalize_rgb(f.astype(jnp.float32))
-            # sequential backbone (fills the chip per image) + batched
-            # proposal/RoI/box-head tail with top-K proposal pruning (was
-            # jax.lax.map of complete single-image applies)
-            b, s, v = detect_frames(det_model, det_vars, imgs)
-            return jnp.sum(s).astype(jnp.int32) % 3 + i * 0
+    def make_det_loop(model):
+        # sequential backbone (fills the chip per image) + batched
+        # proposal/RoI/box-head tail with top-K proposal pruning; the
+        # carry perturbs each iteration's input so nothing dedups
+        def det_loop(n, det_vars, frames):
+            def body(i, carry):
+                f = frames + carry.astype(jnp.uint8)
+                imgs = normalize_rgb(f.astype(jnp.float32))
+                b, s, v = detect_frames(model, det_vars, imgs)
+                return jnp.sum(s).astype(jnp.int32) % 3 + i * 0
 
-        return jax.lax.fori_loop(0, n, body, jnp.int32(0))
+            return jax.lax.fori_loop(0, n, body, jnp.int32(0))
 
-    results["det"] = measure("detect", det_loop, det_vars, frames)
+        return det_loop
+
+    results["det"] = measure("detect", make_det_loop(det_model),
+                             det_vars, frames)
 
     # serving preset: smaller RPN/RoI candidate budgets
     # (DetectorConfig.serving: 512 proposals / 128 RoIs). The default
@@ -149,19 +153,10 @@ def main():
             compute_dtype=dtype,
         ))
 
-        def det_loop_fast(n, det_vars, frames):
-            def body(i, carry):
-                f = frames + carry.astype(jnp.uint8)
-                imgs = normalize_rgb(f.astype(jnp.float32))
-                b, s, v = detect_frames(fast_model, det_vars, imgs)
-                return jnp.sum(s).astype(jnp.int32) % 3 + i * 0
-
-            return jax.lax.fori_loop(0, n, body, jnp.int32(0))
-
         fast_vars = (make_vars(fast_model, jnp.zeros((1, H, W, 3)))
                      if det_int8 else det_vars)
-        det_fast_ms = measure("detect_fast", det_loop_fast, fast_vars,
-                              frames) * 1000
+        det_fast_ms = measure("detect_fast", make_det_loop(fast_model),
+                              fast_vars, frames) * 1000
         del fast_vars
 
     # fast tier: serving detector at 640x480 input (2048x1536 source
@@ -180,18 +175,8 @@ def main():
             compute_dtype=dtype,
         ))
         fast_vars = make_vars(fast_model, jnp.zeros((1, H6, W6, 3)))
-
-        def det_loop_640(n, det_vars, frames):
-            def body(i, carry):
-                f = frames + carry.astype(jnp.uint8)
-                imgs = normalize_rgb(f.astype(jnp.float32))
-                b, s, v = detect_frames(fast_model, det_vars, imgs)
-                return jnp.sum(s).astype(jnp.int32) % 3 + i * 0
-
-            return jax.lax.fori_loop(0, n, body, jnp.int32(0))
-
-        det_640_ms = measure("detect_640", det_loop_640, fast_vars,
-                             frames640) * 1000
+        det_640_ms = measure("detect_640", make_det_loop(fast_model),
+                             fast_vars, frames640) * 1000
         del fast_vars, frames640
     del det_vars
 
@@ -217,23 +202,29 @@ def main():
         )(fidx, centers, scales)
         return crops, centers, scales
 
-    def pose_loop(n, pose_vars, frames, boxes):
-        def body(i, carry):
-            f = frames + carry.astype(jnp.uint8)
-            crops, centers, scales = crops_from(f, boxes)
-            # flip test as two applies (measured faster than one doubled
-            # batch on v5e: 280 vs 314 ms per 64-crop chunk)
-            hm = pose_model.apply(pose_vars, crops).astype(jnp.float32)
-            hm_f = pose_model.apply(
-                pose_vars, crops[:, :, ::-1, :]).astype(jnp.float32)
-            hm = 0.5 * (hm + flip_heatmaps(hm_f))
-            kp, ks = udp_decode(hm)
-            kp = crop_coords_to_image(kp, centers, scales)
-            return jnp.sum(kp).astype(jnp.int32) % 3 + i * 0
+    def make_pose_loop(model, flip):
+        # flip test as two applies (measured faster than one doubled
+        # batch on v5e: 280 vs 314 ms per 64-crop chunk)
+        def pose_loop(n, pose_vars, frames, boxes):
+            def body(i, carry):
+                f = frames + carry.astype(jnp.uint8)
+                crops, centers, scales = crops_from(f, boxes)
+                hm = model.apply(pose_vars, crops).astype(jnp.float32)
+                if flip:
+                    hm_f = model.apply(
+                        pose_vars, crops[:, :, ::-1, :]
+                    ).astype(jnp.float32)
+                    hm = 0.5 * (hm + flip_heatmaps(hm_f))
+                kp, ks = udp_decode(hm)
+                kp = crop_coords_to_image(kp, centers, scales)
+                return jnp.sum(kp).astype(jnp.int32) % 3 + i * 0
 
-        return jax.lax.fori_loop(0, n, body, jnp.int32(0))
+            return jax.lax.fori_loop(0, n, body, jnp.int32(0))
 
-    results["pose"] = measure("pose", pose_loop, pose_vars, frames, boxes)
+        return pose_loop
+
+    results["pose"] = measure("pose", make_pose_loop(pose_model, True),
+                              pose_vars, frames, boxes)
 
     # int8 serving path (nn/quant.py): weight + dynamic-activation int8
     # on the transformer Dense layers. Reported separately — the headline
@@ -250,39 +241,15 @@ def main():
                                         quantize="int8"))
         q_vars = quantize_vitpose_params(pose_vars)
 
-        def pose_loop_q(n, q_vars, frames, boxes):
-            def body(i, carry):
-                f = frames + carry.astype(jnp.uint8)
-                crops, centers, scales = crops_from(f, boxes)
-                hm = q_model.apply(q_vars, crops).astype(jnp.float32)
-                hm_f = q_model.apply(
-                    q_vars, crops[:, :, ::-1, :]).astype(jnp.float32)
-                hm = 0.5 * (hm + flip_heatmaps(hm_f))
-                kp, ks = udp_decode(hm)
-                kp = crop_coords_to_image(kp, centers, scales)
-                return jnp.sum(kp).astype(jnp.int32) % 3 + i * 0
-
-            return jax.lax.fori_loop(0, n, body, jnp.int32(0))
-
-        pose_int8_ms = measure("pose_int8", pose_loop_q, q_vars, frames,
-                               boxes) * 1000
+        pose_int8_ms = measure("pose_int8", make_pose_loop(q_model, True),
+                               q_vars, frames, boxes) * 1000
 
         # fast tier: single-pass int8 pose (flip-test averaging off —
         # mmpose's own flip_test=False mode; exactly halves the pose
         # FLOPs, which run at ~83% of the bf16 MXU roofline)
         if os.environ.get("BENCH_FAST", "1") == "1":
-            def pose_loop_nf(n, q_vars, frames, boxes):
-                def body(i, carry):
-                    f = frames + carry.astype(jnp.uint8)
-                    crops, centers, scales = crops_from(f, boxes)
-                    hm = q_model.apply(q_vars, crops).astype(jnp.float32)
-                    kp, ks = udp_decode(hm)
-                    kp = crop_coords_to_image(kp, centers, scales)
-                    return jnp.sum(kp).astype(jnp.int32) % 3 + i * 0
-
-                return jax.lax.fori_loop(0, n, body, jnp.int32(0))
-
-            pose_noflip_ms = measure("pose_noflip_int8", pose_loop_nf,
+            pose_noflip_ms = measure("pose_noflip_int8",
+                                     make_pose_loop(q_model, False),
                                      q_vars, frames, boxes) * 1000
         del q_vars
     del pose_vars
@@ -388,6 +355,7 @@ def main():
             t_kernel = n_cf * total / B
             t_e2e = t_kernel + pipe["pipeline_rest_s"]
             cf_per_s = n_cf / t_e2e
+            headline = "parity-semantics additive e2e"
             detail["pipeline"] = pipe
             # additive e2e per tier (kernel time scaled to n_cf + the
             # measured non-kernel wall clock)
@@ -414,14 +382,18 @@ def main():
                 # ~0.3-0.5 s (measured device_round_trip_s), which
                 # swamps the compute at this scale and says nothing
                 # about a production host.
-                local_device = pipe.get("device_round_trip_s", 1.0) < 0.005
+                rt = pipe.get("device_round_trip_s")
+                local_device = rt is not None and rt < 0.005
                 if local_device:
                     cf_per_s = pipe["e2e_measured_cf_s"]
+                    headline = ("measured e2e (serving-preset step1, "
+                                "locally-attached device)")
                 log(f"measured e2e (serving preset, decode-ahead): "
                     f"step1 {pipe['step1_real_s']:.1f}s -> "
                     f"{pipe['e2e_measured_cf_s']:.1f} cf/s"
                     + ("" if local_device else
-                       f" [tunnel-dominated: {pipe['device_round_trip_s']*1e3:.0f} ms/round-trip; headline keeps the additive model]"))
+                       f" [tunnel-dominated ({rt}s/round-trip); "
+                       f"headline keeps the additive model]"))
             if "e2e_fast_cf_s" in pipe:
                 # reported in detail only — the headline value keeps
                 # the serving tier's reference-parity semantics
@@ -430,6 +402,9 @@ def main():
         except Exception as e:  # noqa: BLE001 — report kernel-only number
             log(f"pipeline bench failed ({e}); reporting kernel-only")
             detail["pipeline_error"] = str(e)
+            headline = "parity kernel-only (pipeline bench failed)"
+    else:
+        headline = "parity kernel-only (BENCH_PIPELINE=0)"
 
     baseline = 6.4
     # round-2 comparability: the r02 "det 160 ms / 43.3 cf/s" numbers
@@ -437,9 +412,8 @@ def main():
     # today's serving family. The parity default is now exact-mmdet
     # (1000 RoIs, chunked RoIAlign), which costs more and is reported
     # honestly as its own tier.
-    detail["tier_note"] = (
-        "value = parity-semantics additive e2e; serving/fast tiers in "
-        "detail (see ARCHITECTURE.md 3b)")
+    detail["tier_note"] = (f"value = {headline}; serving/fast tiers in "
+                           "detail (see ARCHITECTURE.md 3b)")
     print(json.dumps({
         "metric": "e2e_camera_frames_per_sec_per_chip",
         "value": round(cf_per_s, 2),

@@ -14,10 +14,11 @@ cameras.py:1116-1270), whose residual model is:
     the expected lengths free parameters (or fixed, in jointlenfix mode).
 
 The reference solves this with scipy's sparse TRF (host, single-threaded).
-Here the normal equations are solved matrix-free: ``J v`` via ``jvp``,
-``J^T u`` via ``vjp``, conjugate gradients on ``(J^T J + lam D) p = -J^T r``,
-with a standard LM trust-factor update — everything jit-compiled, so the
-entire refinement runs on-device with static shapes.
+Here the damped steps are solved matrix-free by CGLS on ``J`` itself
+(``J v`` via ``jvp``, ``J^T u`` via ``vjp``; see geometry/lm.py for why
+CGLS and not CG on the normal equations), with a gain-ratio LM update —
+everything jit-compiled, so the entire refinement runs on-device with
+static shapes.
 """
 
 from __future__ import annotations
@@ -41,9 +42,25 @@ class RefineConfig(NamedTuple):
     reproj_error_threshold: float = 15.0
     reproj_loss: str = "soft_l1"
     n_deriv_smooth: int = 1
-    lm_iters: int = 30
-    cg_iters: int = 60
+    lm_iters: int = 100
+    cg_iters: int = 300
+    cg_rtol: float = 1e-4
     ftol: float = 1e-3
+    # Initialization guard: DLT occasionally emits meter-scale outlier
+    # points (near-parallel rays on a mismatched pair). The reference
+    # starts TRF from them anyway and survives because its sparse
+    # trust-region steps are near-exact — they move ONLY the wild
+    # points. Truncated matrix-free Krylov steps are not: the huge
+    # smoothness/length cost of a single 47 m spike (measured on the
+    # step4 golden scene: 6.9e10 of a 6.9e10 initial cost) leaks into
+    # global low-frequency directions, dragging well-observed points off
+    # their observations into the soft-L1 plateau, from which the
+    # gradient (~1/sqrt(e)) cannot pull them back. Clamping init points
+    # further than this from the median-filtered trajectory to that
+    # trajectory removes the spike cost without changing the optimum
+    # (verified: converges to the reference TRF solution, ~1 mm median).
+    # Same units as the scene (mm); <= 0 disables.
+    init_spike_clamp: float = 100.0
 
 
 def _soft_l1(e: jnp.ndarray, rp: float) -> jnp.ndarray:
@@ -167,7 +184,7 @@ def _lm_solve(
     return lm_solve(
         resid_fn, x0,
         LMConfig(lm_iters=cfg.lm_iters, cg_iters=cfg.cg_iters,
-                 ftol=cfg.ftol),
+                 cg_rtol=cfg.cg_rtol, ftol=cfg.ftol),
     )
 
 
@@ -203,6 +220,14 @@ def refine_points_3d(
     p3ds_med = med.reshape(F, J, 3)
     default_smooth = 1.0 / jnp.mean(jnp.abs(jnp.diff(p3ds_med, axis=0)))
     scale_smooth_full = cfg.scale_smooth * default_smooth
+
+    if cfg.init_spike_clamp > 0:
+        # see RefineConfig.init_spike_clamp — snap meter-scale DLT
+        # outliers to the median-filtered trajectory before the solve
+        dev = jnp.linalg.norm(p3ds_intp - p3ds_med, axis=-1,
+                              keepdims=True)
+        p3ds_intp = jnp.where(
+            dev > cfg.init_spike_clamp, p3ds_med, p3ds_intp)
 
     jl0 = initialize_joint_lengths(p3ds_intp, constraints, constraints_weak)
 

@@ -113,7 +113,10 @@ def run_step4(
     ref_point: Optional[str] = None,
     redo: bool = False,
     mesh=None,
+    refine_overrides: Optional[dict] = None,
 ) -> str:
+    """refine_overrides: optional RefineConfig field overrides (e.g.
+    tighter lm_iters/ftol for validation runs; see RefineConfig)."""
     pc = pipeline_cfg or PipelineConfig()
     fixed_mode = joint_len_path is not None and os.path.exists(joint_len_path)
     out_name = "kp3d_fxdJointLen.pickle" if fixed_mode else "kp3d.pickle"
@@ -179,6 +182,8 @@ def run_step4(
         reproj_error_threshold=tri_cfg.reproj_error_threshold,
         n_deriv_smooth=tri_cfg.n_deriv_smooth,
     )
+    if refine_overrides:
+        rcfg = rcfg._replace(**refine_overrides)
 
     # threshold + undistort + DLT for ALL animals in one batched program
     # (semantically the reference's per-animal loop, step4:219, but a

@@ -131,32 +131,35 @@ def run(n_frame: int = 120, n_cam: int = 4, render: bool = True,
         import jax
 
         if jax.default_backend() != "cpu":
-            try:
-                perc = _build_random_fullsize_perception()
-                for tag in ("real_warm", "real_timed"):
-                    results = os.path.join(tmp, f"results_{tag}")
-                    t0 = time.time()
-                    run_step1("synth", results, raw, lambda cam: perc,
-                              chunk=16)
-                    step1_real_s = time.time() - t0
-                del perc
-            except Exception as e:  # noqa: BLE001
-                print(f"step1_real failed: {e}", file=sys.stderr)
+            def _timed_step1(build, label):
+                """Warm pass (compiles) then timed pass; returns the
+                TIMED duration only — None if either pass fails (a
+                warm-pass duration includes minutes of jit compile and
+                must never be reported as measured)."""
+                try:
+                    perc = build()
+                    timed = None
+                    for tag in (f"{label}_warm", f"{label}_timed"):
+                        results = os.path.join(tmp, f"results_{tag}")
+                        t0 = time.time()
+                        run_step1("synth", results, raw,
+                                  lambda cam: perc, chunk=16)
+                        if tag.endswith("_timed"):
+                            timed = time.time() - t0
+                    return timed
+                except Exception as e:  # noqa: BLE001
+                    print(f"step1_{label} failed: {e}", file=sys.stderr)
+                    return None
+
+            step1_real_s = _timed_step1(
+                _build_random_fullsize_perception, "real")
             if (step1_real_s is not None
                     and os.environ.get("BENCH_STEP1_FAST", "1") == "1"):
                 # MACAQUE_TPU_FAST tier: 640-target detector +
                 # single-pass int8 pose (ARCHITECTURE.md "Roofline")
-                try:
-                    perc_f = _build_random_fullsize_perception(fast=True)
-                    for tag in ("fast_warm", "fast_timed"):
-                        results = os.path.join(tmp, f"results_{tag}")
-                        t0 = time.time()
-                        run_step1("synth", results, raw,
-                                  lambda cam: perc_f, chunk=16)
-                        step1_fast_s = time.time() - t0
-                    del perc_f
-                except Exception as e:  # noqa: BLE001
-                    print(f"step1_fast failed: {e}", file=sys.stderr)
+                step1_fast_s = _timed_step1(
+                    lambda: _build_random_fullsize_perception(fast=True),
+                    "fast")
 
     # context for the stage timings: each host<->device round trip costs
     # this much on the current backend (on a remote-tunneled device this

@@ -58,16 +58,17 @@ def build_flax_perception(weights_dir: str):
     # MACAQUE_TPU_INT8=1: int8 serving path for the ViT pose blocks
     # (nn/quant.py; pose stage 204 -> 157 ms/chunk measured on v5e)
     int8 = os.environ.get("MACAQUE_TPU_INT8", "0") == "1"
-    # MACAQUE_TPU_SERVING=1: detector serving preset (smaller RPN/RoI
-    # budgets; DetectorConfig.serving) — default is exact-mmdet parity
-    serving = os.environ.get("MACAQUE_TPU_SERVING", "0") == "1"
     # MACAQUE_TPU_FAST=1: max-throughput tier — serving detector at
     # 640 input (vs mmdet's 800), single-pass int8 pose (flip-test
-    # averaging off), implying SERVING and INT8. Documented accuracy
-    # trade-offs; see ARCHITECTURE.md "Roofline".
+    # averaging off). Documented accuracy trade-offs; see
+    # ARCHITECTURE.md "Roofline".
     fast = os.environ.get("MACAQUE_TPU_FAST", "0") == "1"
-    if fast:
-        serving = int8 = True
+    # MACAQUE_TPU_SERVING=1: the serving tier — detector budget preset
+    # (512 proposals / 128 RoIs; DetectorConfig.serving) AND the int8
+    # pose path, matching the documented tier semantics
+    # (GETTING_STARTED.md section 6). Default is exact-mmdet parity.
+    serving = os.environ.get("MACAQUE_TPU_SERVING", "0") == "1" or fast
+    int8 = int8 or serving
     det_kw = dict(swin=SwinConfig(compute_dtype=dtype),
                   compute_dtype=dtype)
     det = SwinMaskRCNN(DetectorConfig.serving(**det_kw) if serving

@@ -91,6 +91,63 @@ def install_cv2_omnidir_shim():
         cv2.omnidir = _OmnidirShim()
 
 
+def install_numba_shim():
+    """This environment ships no numba; the reference's aniposelib only
+    uses ``@jit`` as an accelerator (``forceobj`` wrappers are plain
+    Python, and the ``nopython`` ``triangulate_simple`` runs unchanged
+    un-jitted), so a pass-through decorator preserves semantics."""
+    import sys
+    import types
+
+    if "numba" in sys.modules:
+        return
+
+    def jit(*args, **kwargs):
+        if args and callable(args[0]):
+            return args[0]
+
+        def deco(f):
+            return f
+
+        return deco
+
+    m = types.ModuleType("numba")
+    m.jit = jit
+    m.njit = jit
+    m.prange = range
+    sys.modules["numba"] = m
+
+
+def install_toml_shim():
+    """This environment ships no ``toml`` package; back the reference's
+    ``toml.load``/``toml.dump`` with stdlib ``tomllib`` for reading and
+    macaque_tpu's writer (round-trips through tomllib) for writing."""
+    import sys
+    import types
+    import tomllib
+
+    from macaque_tpu.utils.tomlwriter import dumps_toml
+
+    if "toml" in sys.modules:
+        return
+
+    def load(f):
+        if isinstance(f, (str, bytes)):
+            with open(f, "rb") as fh:
+                return tomllib.load(fh)
+        return tomllib.loads(f.read())
+
+    def dump(obj, f):
+        f.write(dumps_toml(obj))
+
+    m = types.ModuleType("toml")
+    m.load = load
+    m.loads = tomllib.loads
+    m.dump = dump
+    m.dumps = dumps_toml
+    sys.modules["toml"] = m
+
+
 # -------------------------------------------------------------------- DLT
 
 def triangulate_svd_np(points, pmats):
