@@ -80,7 +80,27 @@ def test_extrinsic_bundle_adjustment():
     )
     assert rms < 0.2, f"rms {rms}"
     np.testing.assert_allclose(rv, np.asarray(rig.rvec), atol=5e-3)
-    np.testing.assert_allclose(tv, np.asarray(rig.tvec), atol=15.0)
+
+    # With camera 0 fixed and the 3D points free, global scale about
+    # camera 0's center is an exact gauge freedom — reprojection cannot
+    # determine it, and the optimum slides along that valley with the
+    # observation noise. The reference's optimize_extrinsic (scipy TRF,
+    # x_scale='jac', fixcam0 — mct:488-614) has the identical freedom.
+    # Compare camera centers after removing the one free scale.
+    def centers(rvecs, tvecs):
+        import cv2
+
+        return np.stack([
+            -(cv2.Rodrigues(r)[0].T @ t) for r, t in zip(rvecs, tvecs)
+        ])
+
+    c_est = centers(rv, tv)
+    c_true = centers(np.asarray(rig.rvec), np.asarray(rig.tvec))
+    rel_est = c_est - c_est[0]
+    rel_true = c_true - c_true[0]
+    s = float(np.sum(rel_est * rel_true) / np.sum(rel_est * rel_est))
+    assert abs(s - 1.0) < 0.02, s  # drift is sub-percent in practice
+    np.testing.assert_allclose(s * rel_est, rel_true, atol=15.0)
 
 
 def test_full_bundle_adjustment_improves():
