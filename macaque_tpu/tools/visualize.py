@@ -40,9 +40,11 @@ def _ellipse_line(img, x1, x2, mrksize, clr):
 
     dx, dy = x2[0] - x1[0], x2[1] - x1[1]
     ang = 90 if dx == 0 else math.degrees(math.atan(dy / dx))
-    cen = (int((x1[0] + x2[0]) / 2), int((x1[1] + x2[1]) / 2))
+    # float center/axes: cv2 rounds the rotated rect internally, exactly
+    # like the reference's ellipse_line (visualize_result.py:19-28)
+    cen = ((x1[0] + x2[0]) / 2, (x1[1] + x2[1]) / 2)
     length = math.hypot(dx, dy)
-    cv2.ellipse(img, (cen, (int(length), int(mrksize)), ang), clr, -1)
+    cv2.ellipse(img, (cen, (length, float(mrksize)), ang), clr, -1)
 
 
 def _clean_kp(kp2d: np.ndarray) -> list:
@@ -80,6 +82,8 @@ def render_overlay(
     fps: float = 24.0,
     out_path: Optional[str] = None,
     style: str = "v1",
+    mrksize: int = 6,
+    colors=None,
 ) -> Optional[str]:
     import cv2
     import jax
@@ -99,6 +103,18 @@ def render_overlay(
     # add synthetic neck = mean of shoulders (kp 5, 6)
     neck = (kp3d[:, :, 5] + kp3d[:, :, 6]) / 2
     kp3d_n = np.concatenate([kp3d, neck[:, :, None, :]], axis=2)
+
+    # reference clean_kp (show_as_possible) aggregate rule: an animal is
+    # drawn in a frame only if at least one keypoint has nonzero
+    # coordinates AND positive score (visualize_result.py:30-48,229-236;
+    # NaN coords pass the !=0 test by numpy semantics, exactly as there)
+    score = np.asarray(data.get("kp3d_score", np.ones((A, T, J))))
+    neck_s = (score[:, :, 5] + score[:, :, 6]) / 2
+    score_n = np.concatenate([score, neck_s[:, :, None]], axis=2)
+    with np.errstate(invalid="ignore"):
+        draw_any = np.sum(
+            np.logical_not(kp3d_n[..., 0] == 0) & (score_n > 0.0),
+            axis=2) > 0  # (A, T)
 
     cam_id = rig.camera_ids[i_cam]
     sub = rig.subset([i_cam]).omni()
@@ -122,6 +138,7 @@ def render_overlay(
     vw = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"mp4v"),
                          fps, (W, H))
     kp_con = KP_CON_V2 if style == "v2" else KP_CON
+    palette = COLORS if colors is None else colors
     n = min(T, len(fnums))
     for t in range(n):
         fn = int(fnums[t])
@@ -129,9 +146,11 @@ def render_overlay(
             continue
         img, _ = store.get_image(frame_number=fn)
         for a in range(A):
+            if not draw_any[a, t]:
+                continue
             kp = _clean_kp(proj[a, t])
-            draw_skeleton(img, kp, 6, COLORS[a % 4], kp_con,
-                          hide_eyes=(style == "v2"))
+            draw_skeleton(img, kp, mrksize, palette[a % len(palette)],
+                          kp_con, hide_eyes=(style == "v2"))
         vw.write(img)
     vw.release()
     store.close()
