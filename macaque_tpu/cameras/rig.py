@@ -263,6 +263,12 @@ class CameraRig:
                 "xi": [float(self.xi[i])],
                 "K": self.K[i].tolist(),
                 "D": self.D[i].tolist(),
+                # the reference's CameraGroup.from_dicts keys on lowercase
+                # 'omnidir' (cameras.py:1972-1983) while its own get_dict
+                # writes 'Omnidir' (cameras.py:481) and its shipped
+                # calibration_tmpl.toml carries lowercase — emit both so
+                # either loader reconstructs an OmnidirCamera
+                "omnidir": True,
                 "Omnidir": True,
                 "fisheye": False,
             }

@@ -329,8 +329,14 @@ class CameraGroup:
             p3 = self.triangulate(obs, undistort=undistort)
             errs = self.reprojection_error(p3, obs, mean=True)
             errs = np.where(np.isfinite(errs), errs, np.inf)
-            best = int(np.argmin(errs))
-            if errs[best] > 200:        # reference's best_error ceiling
+            # the reference walks combos in product order and STOPS at
+            # the first one under `threshold` (cameras.py:703-713) — a
+            # pure argmin would instead overfit to minimal-camera combos
+            # (a 2-camera DLT reprojects near-exactly), dropping valid
+            # cameras from `picked`
+            under = np.flatnonzero(errs < threshold)
+            best = int(under[0]) if under.size else int(np.argmin(errs))
+            if errs[best] >= 200:       # reference's best_error ceiling
                 continue
             out[n] = p3[best]
             errors[n] = errs[best]
