@@ -54,9 +54,15 @@ def rodrigues(rvec: jnp.ndarray) -> jnp.ndarray:
 def rodrigues_inv(R: jnp.ndarray) -> jnp.ndarray:
     """Rotation matrix(es) ``(..., 3, 3)`` -> rotation vector(s) ``(..., 3)``.
 
-    Standard log map via the matrix trace and the skew-symmetric part.
-    Accurate away from theta = pi (sufficient for camera extrinsics, which the
-    calibration pipeline keeps well-conditioned).
+    Standard log map via the matrix trace and the skew-symmetric part,
+    with a dedicated theta ~ pi branch: there the skew part vanishes
+    (R is symmetric), so the axis is recovered from the dominant column
+    of ``R + R^T - 2 cos(theta) I = 2 (1 - cos theta) v v^T``. Cameras
+    facing back along a world axis sit exactly on this branch (caught by
+    tests/test_golden_fixextrinsic.py — the old skew-only formula
+    silently returned ~0 for them). At theta = pi exactly the sign of
+    the axis is a true gauge freedom (R(pi, v) = R(pi, -v)); near pi it
+    is disambiguated against the residual skew part.
     """
     R = jnp.asarray(R)
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
@@ -76,7 +82,25 @@ def rodrigues_inv(R: jnp.ndarray) -> jnp.ndarray:
     scale = jnp.where(
         sin_t > 1e-7, theta / (2.0 * sin_t + _EPS), 0.5 + theta * theta / 12.0
     )
-    return w * scale[..., None]
+    r_skew = w * scale[..., None]
+
+    # near-pi branch: A = R + R^T - 2 cos(theta) I = 2 (1-cos) v v^T;
+    # its largest-norm column is parallel to the axis
+    A = R + jnp.swapaxes(R, -1, -2) - 2.0 * cos_t[..., None, None] * jnp.eye(
+        3, dtype=R.dtype)
+    col_n = jnp.linalg.norm(A, axis=-2)  # (..., 3) column norms
+    j = jnp.argmax(col_n, axis=-1)
+    col = jnp.take_along_axis(
+        A, jnp.broadcast_to(j[..., None, None], A.shape[:-1] + (1,)),
+        axis=-1)[..., 0]
+    axis = col / (jnp.linalg.norm(col, axis=-1, keepdims=True) + _EPS)
+    # align with the residual skew part when it is meaningful; at pi
+    # exactly both signs are the same rotation
+    sgn = jnp.where(jnp.sum(w * axis, axis=-1) < 0.0, -1.0, 1.0)
+    r_pi = theta[..., None] * axis * sgn[..., None]
+
+    near_pi = (sin_t < 1e-4) & (cos_t < 0.0)
+    return jnp.where(near_pi[..., None], r_pi, r_skew)
 
 
 def rotate_points(rvec: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:

@@ -65,6 +65,66 @@ def median_filter_1d(x: jnp.ndarray, size: int = 7) -> jnp.ndarray:
     return jnp.median(windows, axis=-1)
 
 
+def filter_pose_medfilt_2d(
+    points,
+    kernel_size: int = 13,
+    offset_threshold: float = 25.0,
+    score_threshold: float = 0.05,
+    spline: bool = True,
+):
+    """anipose's medfilt 2D pose filter (reference:
+    src/third_party/anipose/filter_pose.py:213-261), assembled from the
+    same steps: per-joint median filter of candidate 0, outlier removal
+    by median-offset and score thresholds, then gap interpolation
+    (cubic interpolating spline, or linear when ``spline=False``) for
+    joints missing in <50% of frames with >5 valid samples.
+
+    This is a host-side data-cleaning utility (the device path filters
+    with the Viterbi scan in filters/viterbi.py, the pipeline default);
+    it runs once per session on small arrays, so it is plain NumPy.
+
+    points: (F, J, P, 3) [x, y, score] candidate array.
+    Returns (points (F, J, 2) — NaN where removed and not interpolable,
+    scores (F, J)).
+    """
+    import numpy as np
+
+    points = np.asarray(points, float)
+    F, J, P, _ = points.shape
+    out = np.full((F, J, 2), np.nan)
+    half = kernel_size // 2
+
+    def medfilt_zero(x):
+        # scipy.signal.medfilt semantics: ZERO padding at the edges
+        xp = np.concatenate([np.zeros(half), x, np.zeros(half)])
+        win = np.lib.stride_tricks.sliding_window_view(xp, kernel_size)
+        return np.median(win, axis=-1)
+
+    for j in range(J):
+        x = points[:, j, 0, 0]
+        y = points[:, j, 0, 1]
+        score = points[:, j, 0, 2]
+        err = np.abs(x - medfilt_zero(x)) + np.abs(y - medfilt_zero(y))
+        bad = (err >= offset_threshold) | (score < score_threshold)
+        Xf = np.stack([x, y], axis=1)
+        Xf[bad] = np.nan
+        for i in range(2):
+            vals = Xf[:, i].copy()
+            nans = np.isnan(vals)
+            ix = np.flatnonzero(~nans)
+            if nans.sum() > 0 and (~nans).mean() > 0.5 and len(ix) > 5:
+                if spline:
+                    from scipy.interpolate import splev, splrep
+
+                    tck = splrep(ix, vals[ix], k=3, s=0)
+                    vals[nans] = splev(np.flatnonzero(nans), tck)
+                else:
+                    vals[nans] = np.interp(
+                        np.flatnonzero(nans), ix, vals[ix])
+            out[:, j, i] = vals
+    return out, points[:, :, 0, 2]
+
+
 def ema_smooth(
     kp: jnp.ndarray,
     alpha: float = 0.5,

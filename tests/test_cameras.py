@@ -63,6 +63,23 @@ class TestRodrigues:
         back = np.asarray(rodrigues_inv(rodrigues(jnp.asarray(rvec))))
         np.testing.assert_allclose(back, rvec, atol=1e-8)
 
+    def test_roundtrip_near_pi(self):
+        """theta ~ pi: the skew part of R vanishes, so the log map needs
+        the symmetric-part branch (cameras looking back along an axis
+        sit exactly here; the old formula silently returned ~0)."""
+        rng = np.random.default_rng(2)
+        axes = rng.normal(size=(12, 3))
+        axes /= np.linalg.norm(axes, axis=1, keepdims=True)
+        for dt in (0.0, 1e-9, 1e-6, 3e-5):
+            rvec = axes * (np.pi - dt)
+            R = rodrigues(jnp.asarray(rvec))
+            back = np.asarray(rodrigues_inv(R))
+            R2 = np.asarray(rodrigues(jnp.asarray(back)))
+            # rvec sign is gauge at exactly pi — compare the rotations
+            np.testing.assert_allclose(R2, np.asarray(R), atol=1e-7)
+            np.testing.assert_allclose(
+                np.linalg.norm(back, axis=1), np.pi - dt, atol=1e-6)
+
 
 class TestOmnidir:
     def test_project_matches_numpy_oracle(self):
