@@ -46,6 +46,130 @@ def compute_angles(
     return out
 
 
+def _normalize(u: np.ndarray) -> np.ndarray:
+    return u / np.linalg.norm(u, axis=-1, keepdims=True)
+
+
+def _ortho(u, v) -> np.ndarray:
+    """Component of ``u`` orthogonal to ``v`` (rows). anipose
+    compute_angles.py:16-23 semantics, including NaN propagation."""
+    u = np.broadcast_to(np.asarray(u, float), np.shape(v)).copy()
+    v = np.asarray(v, float)
+    coef = np.sum(u * v, axis=-1) / np.sum(v * v, axis=-1)
+    return u - v * coef[..., None]
+
+
+def angles_flex(vecs: dict, angle) -> np.ndarray:
+    """Flexion angle at vertex b of (a, b, c), degrees
+    (anipose compute_angles.py:104-111)."""
+    a, b, c = angle
+    v1 = _normalize(vecs[a] - vecs[b])
+    v2 = _normalize(vecs[c] - vecs[b])
+    return np.degrees(np.arccos(np.sum(v1 * v2, axis=-1)))
+
+
+def angles_axis(vecs: dict, angle) -> np.ndarray:
+    """Rotation of segment (b - c) about the (a - b) axis, degrees
+    (anipose compute_angles.py:113-123): the axis frame takes world-x
+    orthogonalized against the segment as its zero direction."""
+    a, b, c = angle
+    v1 = vecs[a] - vecs[b]
+    v2 = vecs[b] - vecs[c]
+    z = _normalize(v1)
+    x = _normalize(_ortho([1.0, 0.0, 0.0], z))
+    y = np.cross(z, x)
+    return np.degrees(np.arctan2(np.sum(v2 * y, axis=-1),
+                                 np.sum(v2 * x, axis=-1)))
+
+
+def angles_crossaxis(vecs: dict, angle) -> np.ndarray:
+    """Rotation of (c - a) about the normal of the (a,b,c) plane,
+    degrees (anipose compute_angles.py:125-136)."""
+    a, b, c = angle
+    v1 = vecs[a] - vecs[b]
+    v2 = vecs[b] - vecs[c]
+    point = vecs[c] - vecs[a]
+    z = _normalize(np.cross(v1, v2))
+    x = _normalize(_ortho([1.0, 0.0, 0.0], z))
+    y = np.cross(z, x)
+    return np.degrees(np.arctan2(np.sum(point * y, axis=-1),
+                                 np.sum(point * x, axis=-1)))
+
+
+def angles_chain(vecs: dict, chain_list) -> dict:
+    """Euler-decomposed angles along a kinematic chain
+    (anipose compute_angles.py:47-102). Chain entries ending in "/"
+    flip the flexion sign convention for that joint. Per inner joint
+    the local frame takes the next segment as +z and the following
+    bone's orthogonal component as +x; consecutive frames' relative
+    rotation is decomposed as intrinsic z-y-x Euler angles, and inner
+    joints are re-wrapped so the flex channel matches the plain
+    three-point flexion angle. Returns {joint_flex / joint_rot /
+    joint_abduct: (F,) degrees}."""
+    from scipy.spatial.transform import Rotation
+
+    chain, sign = [], []
+    for c in chain_list:
+        chain.append(c[:-1] if c.endswith("/") else c)
+        sign.append(-1.0 if c.endswith("/") else 1.0)
+    n = len(chain)
+    kps = [np.asarray(vecs[c], float) for c in chain]
+    F = kps[0].shape[0]
+
+    frames = [Rotation.identity(F)]
+    for i in range(n - 1):
+        z = _normalize(kps[i + 1] - kps[i])
+        if i == n - 2:
+            # arbitrary reference axis for the terminal joint
+            x = _ortho([1.0, 0.0, 0.0], z)
+            if np.linalg.norm(x) < 1e-5:
+                x = _ortho([0.0, 1.0, 0.0], z)
+        else:
+            x = _ortho(kps[i + 2] - kps[i + 1], z) * sign[i + 1]
+        x = _normalize(x)
+        frames.append(Rotation.from_matrix(
+            np.stack([x, np.cross(z, x), z], axis=-1)))
+
+    out = {}
+    for i in range(n - 1):
+        ang = (frames[i].inv() * frames[i + 1]).as_euler(
+            "zyx", degrees=True)
+        if i != 0:
+            flex = angles_flex(
+                {k: vecs[k] for k in chain[i - 1:i + 2]},
+                chain[i - 1:i + 2]) * sign[i]
+            flip = ~np.isclose(flex, ang[:, 1])
+            ang[:, 0] += 180.0 * flip
+            ang[:, 1] = np.where(flip, np.mod(-(ang[:, 1] + 180.0), 360.0),
+                                 ang[:, 1])
+            ang = np.mod(ang + 180.0, 360.0) - 180.0
+        out[chain[i] + "_flex"] = ang[:, 1]
+        if i != n - 2:
+            out[chain[i] + "_rot"] = ang[:, 0]
+        if i == 0:
+            out[chain[i] + "_abduct"] = ang[:, 2]
+    return out
+
+
+def get_angles(vecs: dict, angles: dict) -> dict:
+    """anipose config-style angle dispatcher
+    (compute_angles.py:29-44): values are ["chain", j1, j2, ...],
+    ["axis", a, b, c], ["cross-axis", a, b, c], or a plain (a, b, c)
+    flexion triplet (optionally prefixed with "flex")."""
+    out = {}
+    for name, spec in angles.items():
+        spec = list(spec)
+        if spec[0] == "chain":
+            out.update(angles_chain(vecs, spec[1:]))
+        elif len(spec) == 4 and spec[0] == "axis":
+            out[name] = angles_axis(vecs, spec[1:])
+        elif len(spec) == 4 and spec[0] == "cross-axis":
+            out[name] = angles_crossaxis(vecs, spec[1:])
+        else:
+            out[name] = angles_flex(vecs, spec[-3:])
+    return out
+
+
 def filter_3d_medfilt(
     kp3d: np.ndarray,
     errors: np.ndarray | None = None,
