@@ -81,7 +81,8 @@ def main(argv=None):
     for name in ("triangulate-session", "project-2d", "label-videos",
                  "session-angles", "tracking-errors", "label-3d",
                  "label-proj", "label-combined", "convert-videos",
-                 "calibration-errors", "report"):
+                 "calibration-errors", "report", "filter-2d",
+                 "filter-3d", "train-autoencoder"):
         sp = sub.add_parser(name)
         sp.add_argument("--config", default="config.toml",
                         help="anipose project config.toml")
@@ -161,7 +162,7 @@ def main(argv=None):
 
     if args.cmd == "step1":
         sys.path.insert(0, os.getcwd())
-        from run_demo import build_flax_perception
+        from macaque_tpu.pipeline.weights import build_flax_perception
         from macaque_tpu.pipeline.step1 import run_step1
 
         run_step1(args.data, args.results, args.raw,
@@ -222,9 +223,9 @@ def main(argv=None):
 
         weights = args.weights or os.environ.get("MACAQUE_TPU_WEIGHTS",
                                                  "./model")
-        import run_demo as _demo
+        from macaque_tpu.pipeline.weights import build_flax_perception
 
-        perception = _demo.build_flax_perception(weights)
+        perception = build_flax_perception(weights)
         out = render_2d_video(args.video, args.out, perception,
                               det_thr=args.det_thr,
                               max_frames=args.max_frames)
@@ -242,13 +243,20 @@ def main(argv=None):
                       "tracking-errors", "summarize", "label-3d",
                       "label-proj", "label-combined", "convert-videos",
                       "calibration-errors", "report", "extract-frames",
-                      "pose-videos"):
+                      "pose-videos", "filter-2d", "filter-3d",
+                      "train-autoencoder"):
         from macaque_tpu.tools import session as ses
         from macaque_tpu.tools import session_extras as sx
 
         config = ses.load_session_config(args.config)
         if args.cmd == "triangulate-session":
             out = ses.triangulate_all(config)
+        elif args.cmd == "filter-2d":
+            out = ses.filter_pose_2d_all(config)
+        elif args.cmd == "filter-3d":
+            out = ses.filter_pose_3d_all(config)
+        elif args.cmd == "train-autoencoder":
+            out = {(): [ses.train_autoencoder_project(config)]}
         elif args.cmd == "project-2d":
             out = ses.project_2d_all(config)
         elif args.cmd == "label-videos":
@@ -272,7 +280,7 @@ def main(argv=None):
                                          spacing=args.spacing)}
         elif args.cmd == "pose-videos":
             sys.path.insert(0, os.getcwd())
-            from run_demo import build_flax_perception
+            from macaque_tpu.pipeline.weights import build_flax_perception
 
             weights = args.weights or os.environ.get(
                 "MACAQUE_TPU_WEIGHTS", "./model")
@@ -302,7 +310,7 @@ def main(argv=None):
         import json as _json
 
         sys.path.insert(0, os.getcwd())
-        from run_demo import build_flax_perception
+        from macaque_tpu.pipeline.weights import build_flax_perception
         from macaque_tpu.tools.coco_eval import run_coco_eval
 
         weights = args.weights or os.environ.get("MACAQUE_TPU_WEIGHTS",

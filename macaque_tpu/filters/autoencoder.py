@@ -80,6 +80,20 @@ def train_autoencoder(
     return params
 
 
+def save_autoencoder(params: AEParams, fname: str) -> str:
+    """Persist trained filter weights (the reference pickles an sklearn
+    MLP to config['filter']['autoencoder_path']; this is the npz
+    equivalent for the session filter driver)."""
+    np.savez(fname, **{k: np.asarray(v)
+                       for k, v in params._asdict().items()})
+    return fname
+
+
+def load_autoencoder(fname: str) -> AEParams:
+    with np.load(fname) as d:
+        return AEParams(**{k: jnp.asarray(d[k]) for k in AEParams._fields})
+
+
 def filter_scores_autoencoder(
     params: AEParams,
     scores: np.ndarray,

@@ -321,7 +321,7 @@ if __name__ == "__main__":
     import sys as _sys
 
     _sys.path.insert(0, _os.getcwd())
-    from run_demo import build_flax_perception
+    from macaque_tpu.pipeline.weights import build_flax_perception
 
     run_step1(
         data_name=args.data,

@@ -84,12 +84,17 @@ def load_session_config(fname: Optional[str] = None) -> dict:
     if "project" not in config:
         config["project"] = os.path.basename(config["path"])
 
+    import copy
+
+    # deep-copy the defaults: handing out the shared dicts by reference
+    # lets one caller's config["triangulation"].update(...) silently
+    # poison every later load_session_config() result
     for k, v in DEFAULT_SESSION_CONFIG.items():
         if k not in config:
-            config[k] = v
+            config[k] = copy.deepcopy(v)
         elif isinstance(v, dict):
             for k2, v2 in v.items():
-                config[k].setdefault(k2, v2)
+                config[k].setdefault(k2, copy.deepcopy(v2))
     return config
 
 
@@ -113,8 +118,11 @@ def get_cam_name(config: dict, fname: str) -> Optional[str]:
 
 
 def get_video_name(config: dict, fname: str) -> str:
+    # whitespace-strip only, keeping separator chars — matches the
+    # reference byte-for-byte (common.py:75-80; "vid-camA" -> "vid-"),
+    # pinned by tests/test_golden_session.py::test_golden_process_session
     return re.sub(config["triangulation"]["cam_regex"], "",
-                  true_basename(fname)).strip().strip("-_")
+                  true_basename(fname)).strip()
 
 
 def get_folders(path: str) -> list[str]:
@@ -455,6 +463,192 @@ def process_session_triangulate(config: dict, session_path: str):
 
 def triangulate_all(config: dict) -> dict:
     return process_all(config, process_session_triangulate)
+
+
+# --------------------------------------------------------------------------
+# 2D pose filtering (reference filter_pose.py:355-395 session driver;
+# the filter kernels live in macaque_tpu/filters/)
+# --------------------------------------------------------------------------
+
+FILTER_TYPES_2D = ("medfilt", "viterbi", "autoencoder")
+
+
+def filter_pose_2d_file(config: dict, fname: str, outname: str) -> str:
+    """pose-2d h5 -> filtered pose-2d h5, chaining the filter types in
+    config['filter']['type'] exactly as the reference does (each stage's
+    output becomes the next stage's single candidate;
+    filter_pose.py:386-390)."""
+    fcfg = config["filter"]
+    types = fcfg.get("type", "medfilt")
+    if not isinstance(types, list):
+        types = [types]
+    for t in types:
+        assert t in FILTER_TYPES_2D, \
+            f"invalid filter type {t!r}, should be one of {FILTER_TYPES_2D}"
+
+    d = read_pose2d(fname)
+    points, scores, bodyparts = d["points"], d["scores"], d["bodyparts"]
+    for t in types:
+        if t == "medfilt":
+            from macaque_tpu.filters.smoothing import filter_pose_medfilt_2d
+
+            cand = np.concatenate(
+                [points, scores[..., None]], axis=-1)[:, :, None, :]
+            points, scores = filter_pose_medfilt_2d(
+                cand,
+                kernel_size=fcfg.get("medfilt", 13),
+                offset_threshold=fcfg.get("offset_threshold", 25.0),
+                score_threshold=fcfg.get("score_threshold", 0.05),
+                spline=fcfg.get("spline", True))
+        elif t == "viterbi":
+            import jax.numpy as jnp
+
+            from macaque_tpu.filters.viterbi import viterbi_filter_joints
+
+            pts, scs = viterbi_filter_joints(
+                jnp.asarray(points)[:, :, None, :],
+                jnp.asarray(scores)[:, :, None],
+                n_back=fcfg.get("n_back", 3),
+                thres_dist=fcfg.get("offset_threshold", 30.0),
+                score_threshold=fcfg.get("score_threshold", 0.3))
+            points, scores = np.asarray(pts), np.asarray(scs)
+        else:  # autoencoder score rescoring
+            from macaque_tpu.filters.autoencoder import (
+                filter_scores_autoencoder, load_autoencoder,
+            )
+
+            params = load_autoencoder(fcfg["autoencoder_path"])
+            scores = filter_scores_autoencoder(
+                params, scores,
+                score_threshold=fcfg.get("score_threshold", 0.5))
+    return write_pose2d(points, scores, bodyparts, outname)
+
+
+def process_session_filter_pose(config: dict, session_path: str):
+    """Filter every pose-2d file in a session into pose-2d-filtered
+    (reference filter_pose.py ``process_session``; skips existing)."""
+    pipe = config["pipeline"]
+    pose_folder = os.path.join(session_path, pipe["pose_2d"])
+    output_folder = os.path.join(session_path, pipe["pose_2d_filter"])
+
+    pose_files = sorted(glob(os.path.join(pose_folder, "*.h5")),
+                        key=natural_keys)
+    written = []
+    for fname in pose_files:
+        outpath = os.path.join(output_folder, os.path.basename(fname))
+        if os.path.exists(outpath):
+            continue
+        os.makedirs(output_folder, exist_ok=True)
+        filter_pose_2d_file(config, fname, outpath)
+        written.append(outpath)
+    return written
+
+
+def filter_pose_2d_all(config: dict) -> dict:
+    return process_all(config, process_session_filter_pose)
+
+
+def train_autoencoder_project(config: dict, epochs: int = 300) -> str:
+    """Train the visibility-pattern autoencoder on every pose-2d file in
+    the project and save it to config['filter']['autoencoder_path']
+    (role of reference train_autoencoder.py, which trains an sklearn MLP
+    on DLC labeled data; here the confident-frame visibility patterns of
+    the project's own detections are the training set — same objective,
+    torch/sklearn-free)."""
+    from macaque_tpu.filters.autoencoder import (
+        save_autoencoder, train_autoencoder,
+    )
+
+    def session_fnames(config, session_path):
+        return sorted(glob(os.path.join(
+            session_path, config["pipeline"]["pose_2d"], "*.h5")),
+            key=natural_keys)
+
+    all_scores = []
+    for fnames in process_all(config, session_fnames).values():
+        for fname in fnames:
+            all_scores.append(read_pose2d(fname)["scores"])
+    if not all_scores:
+        raise FileNotFoundError("no pose-2d files to train on")
+    scores = np.concatenate(all_scores, axis=0)
+    params = train_autoencoder(
+        scores,
+        score_threshold=config["filter"].get("score_threshold", 0.5),
+        epochs=epochs)
+    out = config["filter"].get(
+        "autoencoder_path",
+        os.path.join(config["path"], "autoencoder.npz"))
+    config["filter"]["autoencoder_path"] = out
+    return save_autoencoder(params, out)
+
+
+# --------------------------------------------------------------------------
+# 3D pose filtering (reference filter_3d.py)
+# --------------------------------------------------------------------------
+
+
+def filter_pose_3d_csv(config: dict, fname: str, outname: str) -> str:
+    """pose-3d CSV -> filtered CSV (reference filter_3d.py:33-54
+    ``filter_pose``): NaN out frames whose reprojection error exceeds
+    the threshold, interpolate gaps, median-filter each coordinate
+    (median-padded kernel 17), and set the error columns to the
+    reference's plotting constant 10."""
+    import pandas as pd
+
+    from scipy import signal
+
+    f3cfg = config.get("filter3d", {})
+    error_threshold = f3cfg.get("error_threshold", 15.0)
+    size = f3cfg.get("medfilt", 17)
+    data = pd.read_csv(fname)
+
+    bodyparts = [c[:-len("_error")] for c in data.columns
+                 if c.endswith("_error")]
+    padsize = size + 5
+    for bp in bodyparts:
+        error = np.array(data[f"{bp}_error"], float)
+        error[np.isnan(error)] = 100000
+        bad = error > error_threshold
+        for v in "xyz":
+            vals = np.array(data[f"{bp}_{v}"], float)
+            vals[bad] = np.nan
+            nans = np.isnan(vals)
+            if nans.mean() <= 0.85:  # mostly-NaN series pass through
+                ix = np.flatnonzero(~nans)
+                vals[nans] = np.interp(np.flatnonzero(nans), ix,
+                                       vals[ix])
+                vp = np.pad(vals, (padsize, padsize), mode="median",
+                            stat_length=5)
+                vals = signal.medfilt(vp, kernel_size=size)[
+                    padsize:-padsize]
+            data[f"{bp}_{v}"] = vals
+        data[f"{bp}_error"] = 10  # reference's plotting hack, kept
+    data.to_csv(outname, index=False)
+    return outname
+
+
+def process_session_filter_3d(config: dict, session_path: str):
+    """Filter every pose-3d CSV in a session into pose-3d-filtered
+    (reference filter_3d.py ``process_session``; skips existing)."""
+    pipe = config["pipeline"]
+    pose_folder = os.path.join(session_path, pipe["pose_3d"])
+    output_folder = os.path.join(session_path, pipe["pose_3d_filter"])
+
+    pose_files = sorted(glob(os.path.join(pose_folder, "*.csv")),
+                        key=natural_keys)
+    written = []
+    for fname in pose_files:
+        outpath = os.path.join(output_folder, os.path.basename(fname))
+        if os.path.exists(outpath):
+            continue
+        os.makedirs(output_folder, exist_ok=True)
+        filter_pose_3d_csv(config, fname, outpath)
+        written.append(outpath)
+    return written
+
+
+def filter_pose_3d_all(config: dict) -> dict:
+    return process_all(config, process_session_filter_3d)
 
 
 # --------------------------------------------------------------------------

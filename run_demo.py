@@ -38,65 +38,10 @@ def proc(data_name, fps, results_dir_root, device_str, config_path,
     return run_pipeline(cfg, rig, perception, render=render)
 
 
-def build_flax_perception(weights_dir: str):
-    """Load converted .pth checkpoints into the Flax models."""
-    import jax.numpy as jnp
-    import jax
-    from macaque_tpu.nn import (
-        ViTPose, VitPoseConfig, SwinMaskRCNN, DetectorConfig,
-        ResNetClassifier, ResNetConfig,
-    )
-    from macaque_tpu.nn.convert import (
-        load_torch_checkpoint, convert_vitpose, convert_swin_maskrcnn,
-        convert_resnet,
-    )
-    from macaque_tpu.pipeline.perception import FlaxPerception
-
-    from macaque_tpu.nn.swin import SwinConfig
-
-    dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
-    # MACAQUE_TPU_INT8=1: int8 serving path for the ViT pose blocks
-    # (nn/quant.py; pose stage 204 -> 157 ms/chunk measured on v5e)
-    int8 = os.environ.get("MACAQUE_TPU_INT8", "0") == "1"
-    # MACAQUE_TPU_FAST=1: max-throughput tier — serving detector at
-    # 640 input (vs mmdet's 800), single-pass int8 pose (flip-test
-    # averaging off). Documented accuracy trade-offs; see
-    # ARCHITECTURE.md "Roofline".
-    fast = os.environ.get("MACAQUE_TPU_FAST", "0") == "1"
-    # MACAQUE_TPU_SERVING=1: the serving tier — detector budget preset
-    # (512 proposals / 128 RoIs; DetectorConfig.serving) AND the int8
-    # pose path, matching the documented tier semantics
-    # (GETTING_STARTED.md section 6). Default is exact-mmdet parity.
-    serving = os.environ.get("MACAQUE_TPU_SERVING", "0") == "1" or fast
-    int8 = int8 or serving
-    det_kw = dict(swin=SwinConfig(compute_dtype=dtype),
-                  compute_dtype=dtype)
-    det = SwinMaskRCNN(DetectorConfig.serving(**det_kw) if serving
-                       else DetectorConfig(**det_kw))
-    pose = ViTPose(VitPoseConfig(
-        compute_dtype=dtype,
-        # packed-qkv pallas attention (bf16 dots, blocked crops)
-        use_pallas_attention=(jax.default_backend() == "tpu"),
-        quantize="int8" if int8 else None,
-    ))
-    idm = ResNetClassifier(ResNetConfig(compute_dtype=dtype))
-
-    det_vars = jax.tree.map(jnp.asarray, convert_swin_maskrcnn(
-        load_torch_checkpoint(os.path.join(weights_dir, "detection/detection.pth"))
-    ))
-    pose_vars = jax.tree.map(jnp.asarray, convert_vitpose(
-        load_torch_checkpoint(os.path.join(weights_dir, "pose/pose.pth"))
-    ))
-    if int8:
-        from macaque_tpu.nn.quant import quantize_vitpose_params
-
-        pose_vars = quantize_vitpose_params(pose_vars)
-    id_vars = jax.tree.map(jnp.asarray, convert_resnet(
-        load_torch_checkpoint(os.path.join(weights_dir, "id/id_finetuned.pth"))
-    ))
-    return FlaxPerception(det, det_vars, pose, pose_vars, idm, id_vars,
-                          flip_test=not fast,
-                          det_target=640 if fast else 800)
+# Kept as a top-level alias for script users; the implementation lives in
+# the package so package modules never import this script by name (a bare
+# ``import run_demo`` is shadowed when the reference repo is on sys.path).
+from macaque_tpu.pipeline.weights import build_flax_perception  # noqa: E402,F401
 
 
 def run_synthetic(root: str, n_frame: int = 120, render: bool = True):

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import os
 
-from run_demo import build_flax_perception
+from macaque_tpu.pipeline.weights import build_flax_perception
 
 
 def proc(data_name, fps, results_dir_root, device_str, config_path,

@@ -104,7 +104,9 @@ def test_config_and_naming(project):
     assert config["project"] == "testproj"
     assert config["pipeline"]["pose_3d"] == "pose-3d"  # default merged
     assert ses.get_cam_name(config, "vid1-cam2.h5") == "2"
-    assert ses.get_video_name(config, "vid1-cam2.h5") == "vid1"
+    # reference common.py:75-80 keeps the separator ("vid1-"), strips
+    # whitespace only — parity pinned by test_golden_session
+    assert ses.get_video_name(config, "vid1-cam2.h5") == "vid1-"
     assert ses.find_calibration_folder(config, sess) == sess
 
 
@@ -113,7 +115,7 @@ def test_triangulate_all_recovers_points(project):
     out = ses.triangulate_all(config)
     (written,) = [v for v in out.values() if v]
     csv = written[0]
-    assert csv.endswith(os.path.join("pose-3d", "vid1.csv"))
+    assert csv.endswith(os.path.join("pose-3d", "vid1-.csv"))
     d = pd.read_csv(csv)
     F, J, _ = p3d.shape
     assert len(d) == F
@@ -141,7 +143,7 @@ def test_triangulate_optim_and_axes(project):
     config["triangulation"]["axes"] = [
         ["x", "tail", "foot"], ["z", "tail", "head"]]
     ses.triangulate_all(config)
-    d = pd.read_csv(os.path.join(sess, "pose-3d", "vid1.csv"))
+    d = pd.read_csv(os.path.join(sess, "pose-3d", "vid1-.csv"))
     # frame correction: tail is the reference point -> centered at 0
     tail = np.asarray(d.loc[:, ("tail_x", "tail_y", "tail_z")])
     assert np.abs(np.median(tail, axis=0)).max() < 1.0
@@ -152,6 +154,49 @@ def test_triangulate_optim_and_axes(project):
     M = np.array([[d[f"M_{i}{j}"][0] for j in range(3)]
                   for i in range(3)])
     np.testing.assert_allclose(M @ M.T, np.eye(3), atol=1e-6)
+
+
+def test_filter_2d_all_feeds_filtered_triangulation(project):
+    """Session-level 2D filter driver (reference filter_pose.py
+    process_session): writes pose-2d-filtered h5s that triangulation
+    consumes when filter.enabled, and skips existing outputs."""
+    config, sess, rig, p3d, p2d = project
+    config["filter"].update(type="medfilt", medfilt=5,
+                            offset_threshold=100.0, score_threshold=0.05)
+    out = ses.filter_pose_2d_all(config)
+    written = [f for v in out.values() for f in v]
+    assert len(written) == 3
+    d = ses.read_pose2d(os.path.join(sess, "pose-2d-filtered",
+                                     "vid1-cam0.h5"))
+    assert d["points"].shape == p2d[0].shape
+    # near-pass-through on clean tracks (large offset threshold)
+    good = np.isfinite(d["points"][..., 0])
+    assert good.mean() > 0.9
+    np.testing.assert_allclose(d["points"][good], p2d[0][good], atol=2.0)
+
+    config["filter"]["enabled"] = True
+    ses.triangulate_all(config)
+    assert os.path.exists(os.path.join(sess, "pose-3d", "vid1-.csv"))
+    assert all(len(v) == 0 for v in ses.filter_pose_2d_all(config).values())
+
+
+def test_filter_2d_viterbi_autoencoder_chain(project):
+    """Viterbi + trained-autoencoder chain through the session driver
+    (reference filter types 'viterbi'/'autoencoder' + train_autoencoder)."""
+    config, sess, rig, p3d, p2d = project
+    ses.train_autoencoder_project(config, epochs=50)
+    assert os.path.exists(config["filter"]["autoencoder_path"])
+    config["filter"].update(type=["viterbi", "autoencoder"],
+                            n_back=3, offset_threshold=60.0,
+                            score_threshold=0.3)
+    out = ses.filter_pose_2d_all(config)
+    written = [f for v in out.values() for f in v]
+    assert len(written) == 3
+    d = ses.read_pose2d(written[0])
+    assert d["points"].shape == p2d[0].shape
+    assert np.isfinite(d["points"][..., 0]).mean() > 0.8
+    # autoencoder rescoring only ever lowers scores
+    assert (d["scores"] <= 1.0 + 1e-6).all()
 
 
 def test_project_2d_roundtrip(project):
@@ -178,7 +223,7 @@ def test_summarize_pose3d(project):
     assert "head_x" in d.columns
     assert (d["folder_1"] == "session1").all()
     assert (d["project"] == "testproj").all()
-    assert (d["filename"] == "vid1").all()
+    assert (d["filename"] == "vid1-").all()
 
 
 def test_angles_and_summarize_angles(project):

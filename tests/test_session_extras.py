@@ -45,7 +45,7 @@ def test_label_videos_3d(tracked):
     config, sess, *_ = tracked
     out = sx.label_videos_3d_all(config)
     (written,) = [v for v in out.values() if v]
-    assert written[0].endswith(os.path.join("videos-3d", "vid1.mp4"))
+    assert written[0].endswith(os.path.join("videos-3d", "vid1-.mp4"))
     assert _video_frames(written[0]) == 12
     # resumable
     out2 = sx.label_videos_3d_all(config)
@@ -68,7 +68,7 @@ def test_label_combined(tracked):
     out = sx.label_combined_all(config)
     (written,) = [v for v in out.values() if v]
     assert written[0].endswith(os.path.join("videos-combined",
-                                            "vid1.mp4"))
+                                            "vid1-.mp4"))
     cap = cv2.VideoCapture(written[0])
     ok, frame = cap.read()
     cap.release()
