@@ -82,7 +82,8 @@ def main(argv=None):
                  "session-angles", "tracking-errors", "label-3d",
                  "label-proj", "label-combined", "convert-videos",
                  "calibration-errors", "report", "filter-2d",
-                 "filter-3d", "train-autoencoder"):
+                 "filter-3d", "train-autoencoder",
+                 "label-filter-compare"):
         sp = sub.add_parser(name)
         sp.add_argument("--config", default="config.toml",
                         help="anipose project config.toml")
@@ -244,7 +245,7 @@ def main(argv=None):
                       "label-proj", "label-combined", "convert-videos",
                       "calibration-errors", "report", "extract-frames",
                       "pose-videos", "filter-2d", "filter-3d",
-                      "train-autoencoder"):
+                      "train-autoencoder", "label-filter-compare"):
         from macaque_tpu.tools import session as ses
         from macaque_tpu.tools import session_extras as sx
 
@@ -257,6 +258,8 @@ def main(argv=None):
             out = ses.filter_pose_3d_all(config)
         elif args.cmd == "train-autoencoder":
             out = {(): [ses.train_autoencoder_project(config)]}
+        elif args.cmd == "label-filter-compare":
+            out = sx.label_filter_compare_all(config)
         elif args.cmd == "project-2d":
             out = ses.project_2d_all(config)
         elif args.cmd == "label-videos":

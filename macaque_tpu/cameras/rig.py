@@ -212,10 +212,36 @@ class CameraRig:
             dist.append(dd)
             rvec.append(np.asarray(c["rotation"], dtype=np.float64).ravel())
             tvec.append(np.asarray(c["translation"], dtype=np.float64).ravel())
-            K.append(np.asarray(c.get("K", np.eye(3)), dtype=np.float64))
-            xi_val = c.get("xi", [0.0])
-            xi.append(float(np.asarray(xi_val).ravel()[0]))
-            D.append(np.asarray(c.get("D", np.zeros(4)), dtype=np.float64).ravel()[:4])
+            if "K" in c or c.get("omnidir"):
+                # omnidir (Mei) calibration: separate K/xi/D block
+                K.append(np.asarray(c.get("K", np.eye(3)), dtype=np.float64))
+                xi_val = c.get("xi", [0.0])
+                xi.append(float(np.asarray(xi_val).ravel()[0]))
+                D.append(np.asarray(c.get("D", np.zeros(4)),
+                                    dtype=np.float64).ravel()[:4])
+            else:
+                # plain pinhole calibration (aniposelib Camera.get_dict:
+                # matrix + distortions only). The Mei model with xi=0 IS
+                # the pinhole model with (k1, k2, p1, p2) — exact, no
+                # approximation (cameras/omnidir.py: m = X/Z at xi=0).
+                # k3+ terms and the equidistant fisheye model are not
+                # representable; parity pinned by
+                # tests/test_golden_aniposelib.py::test_golden_pinhole.
+                if c.get("fisheye"):
+                    raise ValueError(
+                        f"{k}: fisheye (equidistant) calibrations are "
+                        "not supported by the omnidir compute path")
+                if dd.shape[0] > 4 and np.any(np.abs(dd[4:]) > 0):
+                    import warnings
+
+                    warnings.warn(
+                        f"{k}: pinhole distortion terms beyond "
+                        f"(k1,k2,p1,p2) ignored: {dd[4:]}")
+                K.append(np.asarray(c["matrix"], dtype=np.float64))
+                xi.append(0.0)
+                d4 = np.zeros(4)
+                d4[: min(4, dd.shape[0])] = dd[:4]
+                D.append(d4)
             if "size" in c and size is None:
                 size = (int(c["size"][0]), int(c["size"][1]))
 

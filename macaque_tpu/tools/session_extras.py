@@ -360,6 +360,120 @@ def label_videos_proj_all(config: dict) -> dict:
 
 
 # --------------------------------------------------------------------------
+# raw vs labeled vs filtered comparison video (reference
+# label_filter_compare.py:42-203: three stacked rows — raw frames,
+# frames with raw-detection labels, frames with filtered labels — all
+# cameras side by side)
+# --------------------------------------------------------------------------
+
+
+def _draw_pose(frame, pts, scores, scheme_ix, score_threshold=0.1):
+    import cv2
+
+    out = frame.copy()
+    ok_pt = (~np.isnan(pts[:, 0])) & (scores > score_threshold)
+    for line in scheme_ix:
+        for a, b in zip(line[:-1], line[1:]):
+            if ok_pt[a] and ok_pt[b]:
+                cv2.line(out, tuple(pts[a].astype(int)),
+                         tuple(pts[b].astype(int)), (0, 255, 255), 2)
+    for j in np.where(ok_pt)[0]:
+        cv2.circle(out, tuple(pts[j].astype(int)), 4, (0, 0, 255), -1)
+    return out
+
+
+def render_filter_compare(vid_fnames: list, pose_fnames: list,
+                          pose_filt_fnames: list, out_fname: str,
+                          scheme=None, row_height: int = 320) -> str:
+    """One recording -> comparison video: row 1 raw, row 2 labeled with
+    raw detections, row 3 labeled with filtered detections; cameras
+    hstacked per row (reference label_filter_compare.py draw_data)."""
+    import cv2
+
+    caps = [cv2.VideoCapture(v) for v in vid_fnames]
+    poses = [read_pose2d(f) for f in pose_fnames]
+    poses_f = [read_pose2d(f) for f in pose_filt_fnames]
+    bodyparts = poses[0]["bodyparts"]
+    bp_index = {b: i for i, b in enumerate(bodyparts)}
+    scheme_ix = [[bp_index[b] for b in line if b in bp_index]
+                 for line in (scheme or [])]
+
+    widths = []
+    for cap in caps:
+        w = cap.get(cv2.CAP_PROP_FRAME_WIDTH) or 1
+        h = cap.get(cv2.CAP_PROP_FRAME_HEIGHT) or 1
+        widths.append(int(round(w * row_height / h)))
+    W, H = sum(widths), row_height * 3
+    fps = caps[0].get(cv2.CAP_PROP_FPS) or 24.0
+    nframes = min(min(int(c.get(cv2.CAP_PROP_FRAME_COUNT) or 0)
+                      for c in caps),
+                  min(p["points"].shape[0] for p in poses),
+                  min(p["points"].shape[0] for p in poses_f))
+    vw = cv2.VideoWriter(out_fname, cv2.VideoWriter_fourcc(*"mp4v"),
+                         fps, (W, H))
+    for i in range(nframes):
+        rows = [[], [], []]
+        for c, cap in enumerate(caps):
+            ok, frame = cap.read()
+            if not ok:
+                nframes = i
+                break
+            sz = (widths[c], row_height)
+            rows[0].append(cv2.resize(frame, sz))
+            rows[1].append(cv2.resize(_draw_pose(
+                frame, poses[c]["points"][i], poses[c]["scores"][i],
+                scheme_ix), sz))
+            rows[2].append(cv2.resize(_draw_pose(
+                frame, poses_f[c]["points"][i],
+                poses_f[c]["scores"][i], scheme_ix), sz))
+        else:
+            vw.write(np.vstack([np.hstack(r) for r in rows]))
+            continue
+        break
+    vw.release()
+    for cap in caps:
+        cap.release()
+    return out_fname
+
+
+def process_session_label_filter_compare(config: dict,
+                                         session_path: str):
+    """Comparison video for every recording that has both pose-2d and
+    pose-2d-filtered results (reference label_filter_compare.py
+    ``process_session``; skips existing)."""
+    pipe = config["pipeline"]
+    scheme = config.get("labeling", {}).get("scheme", [])
+    outdir = os.path.join(session_path,
+                          pipe.get("videos_compare", "videos-compare"))
+    written = []
+    for rec in _session_recordings(config, session_path):
+        cams = sorted(rec["pose2d"].keys())
+        filt = {c: os.path.join(session_path, pipe["pose_2d_filter"],
+                                os.path.basename(rec["pose2d"][c]))
+                for c in cams}
+        filt = {c: f for c, f in filt.items() if os.path.exists(f)}
+        cams = [c for c in cams if c in filt]
+        if not cams:
+            continue
+        vids = [v for v in rec["videos"]
+                if get_cam_name(config, v) in cams]
+        if not vids:
+            continue
+        os.makedirs(outdir, exist_ok=True)
+        out = os.path.join(outdir, rec["name"] + ".mp4")
+        if os.path.exists(out):
+            continue
+        written.append(render_filter_compare(
+            vids, [rec["pose2d"][c] for c in cams],
+            [filt[c] for c in cams], out, scheme))
+    return written
+
+
+def label_filter_compare_all(config: dict) -> dict:
+    return process_all(config, process_session_label_filter_compare)
+
+
+# --------------------------------------------------------------------------
 # combined 2D + 3D video (reference label_combined.py)
 # --------------------------------------------------------------------------
 

@@ -187,3 +187,94 @@ def test_golden_bundle_adjust_iter(tmp_path):
     # floor above is the sharp criterion; geometry agreement is coarse.
     np.testing.assert_allclose(g_our, g_ref, atol=2.5e-2)
     np.testing.assert_allclose(g_our, g_true, atol=2.5e-2)
+
+
+def test_golden_pinhole(tmp_path):
+    """Plain-pinhole calibration.toml (aniposelib Camera.get_dict schema:
+    matrix + distortions, no K/xi/D) loaded by both sides: the reference
+    reconstructs cv2-backed ``Camera`` objects, this repo maps them onto
+    the Mei model with xi=0 (exactly the pinhole model with k1,k2,p1,p2;
+    cameras/rig.py from_calibration_toml). Projection must agree to
+    1e-6 px and triangulation at the estimator floor."""
+    import os
+
+    from macaque_tpu.utils.tomlwriter import dumps_toml
+
+    ref_cameras = _import_reference_aniposelib()
+    rig = make_test_rig(N_CAM, seed=9)
+    rng = np.random.default_rng(3)
+
+    doc = {}
+    for i in range(N_CAM):
+        f = 800.0 + 40.0 * i
+        doc[f"cam_{i}"] = {
+            "name": f"p{i}",
+            "size": [1024, 768],
+            "matrix": [[f, 0.0, 512.0 + i], [0.0, f * 1.01, 384.0 - i],
+                       [0.0, 0.0, 1.0]],
+            "distortions": [-0.12 + 0.01 * i, 0.03, 1e-4 * i,
+                            -2e-4, 0.0],
+            "rotation": np.asarray(rig.rvec)[i].tolist(),
+            "translation": np.asarray(rig.tvec)[i].tolist(),
+        }
+    path = os.path.join(str(tmp_path), "calibration.toml")
+    with open(path, "w") as fh:
+        fh.write(dumps_toml(doc))
+
+    ref_g = ref_cameras.CameraGroup.load(path)
+    assert all(type(c) is ref_cameras.Camera for c in ref_g.cameras)
+    our_g = CameraGroup.load(path)
+
+    pts = _scene_points(60, seed=8)
+    proj_ref = ref_g.project(pts)
+    proj_our = our_g.project(pts)
+    np.testing.assert_allclose(
+        np.asarray(proj_our, float).reshape(N_CAM, -1, 2),
+        np.asarray(proj_ref, float).reshape(N_CAM, -1, 2), atol=1e-6)
+
+    obs = np.asarray(proj_ref, float).reshape(N_CAM, -1, 2)
+    obs += rng.normal(0, 0.2, obs.shape)
+    for c in range(N_CAM):
+        obs[c, rng.random(len(pts)) < 0.1] = np.nan
+    p3_ref = ref_g.triangulate(obs, undistort=True)
+    p3_our = our_g.triangulate(obs, undistort=True)
+    assert np.array_equal(np.isnan(p3_ref[:, 0]), np.isnan(p3_our[:, 0]))
+    ok = ~np.isnan(p3_ref[:, 0])
+    d = np.linalg.norm(p3_ref[ok] - p3_our[ok], axis=1)
+    assert np.median(d) < 2.0, np.median(d)
+
+    err_ref = ref_g.reprojection_error(p3_ref[ok], obs[:, ok], mean=True)
+    err_our = our_g.reprojection_error(p3_ref[ok], obs[:, ok], mean=True)
+    np.testing.assert_allclose(err_our, err_ref, atol=1e-5)
+
+
+def test_pinhole_k3_warns_fisheye_rejected(tmp_path):
+    """Distortion terms beyond (k1,k2,p1,p2) warn; fisheye (equidistant)
+    calibrations are rejected with a clear error."""
+    import os
+    import warnings
+
+    from macaque_tpu.cameras.rig import CameraRig
+    from macaque_tpu.utils.tomlwriter import dumps_toml
+
+    base = {
+        "name": "c0", "size": [640, 480],
+        "matrix": [[500.0, 0.0, 320.0], [0.0, 500.0, 240.0],
+                   [0.0, 0.0, 1.0]],
+        "rotation": [0.0, 0.0, 0.0], "translation": [0.0, 0.0, 0.0],
+    }
+    p1 = os.path.join(str(tmp_path), "k3.toml")
+    with open(p1, "w") as fh:
+        fh.write(dumps_toml({"cam_0": dict(
+            base, distortions=[0.1, 0.0, 0.0, 0.0, 0.05])}))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        CameraRig.from_calibration_toml(p1)
+    assert any("k1,k2,p1,p2" in str(x.message) for x in w)
+
+    p2 = os.path.join(str(tmp_path), "fish.toml")
+    with open(p2, "w") as fh:
+        fh.write(dumps_toml({"cam_0": dict(
+            base, distortions=[0.1, 0.0, 0.0, 0.0], fisheye=True)}))
+    with pytest.raises(ValueError, match="fisheye"):
+        CameraRig.from_calibration_toml(p2)

@@ -41,6 +41,34 @@ def tracked(project):
     return config, sess, rig, p3d, p2d
 
 
+def test_label_filter_compare(project):
+    """Raw / labeled / filtered-labeled 3-row comparison video
+    (reference label_filter_compare.py): one video per recording,
+    height = 3 rows, requires pose-2d-filtered to exist."""
+    config, sess, rig, p3d, p2d = project
+    # nothing filtered yet -> nothing to compare
+    out0 = sx.label_filter_compare_all(config)
+    assert all(len(v) == 0 for v in out0.values())
+
+    config["filter"].update(type="medfilt", medfilt=5,
+                            offset_threshold=100.0)
+    ses.filter_pose_2d_all(config)
+    out = sx.label_filter_compare_all(config)
+    (written,) = [v for v in out.values() if v]
+    assert written[0].endswith(os.path.join("videos-compare",
+                                            "vid1-.mp4"))
+    cap = cv2.VideoCapture(written[0])
+    ok, frame = cap.read()
+    W = cap.get(cv2.CAP_PROP_FRAME_WIDTH)
+    H = cap.get(cv2.CAP_PROP_FRAME_HEIGHT)
+    cap.release()
+    assert ok and H == 3 * 320 and W > 0
+    assert _video_frames(written[0]) == 12
+    # resumable
+    out2 = sx.label_filter_compare_all(config)
+    assert all(len(v) == 0 for v in out2.values())
+
+
 def test_label_videos_3d(tracked):
     config, sess, *_ = tracked
     out = sx.label_videos_3d_all(config)
