@@ -968,7 +968,25 @@ def get_tracking_errors(config: dict, labeled_dir: str = "labeled-data",
         dd["pose_path"] = paths_3d
         dd["framenum"] = metadata["framenum"]
         dd["calib"] = metadata["calib"]
+        if "img" in metadata:
+            dd["img"] = metadata["img"]
         dd["video"] = metadata["video"]
+        # joint angles on both reconstructions (reference
+        # tracking_errors.py:124-143; spec from config['angles'])
+        from macaque_tpu.tools.angles import get_angles
+
+        angles_spec = config.get("angles", {})
+        if angles_spec:
+            a_pred = get_angles(
+                {bp: points_3d_pred[:, j]
+                 for j, bp in enumerate(bodyparts)}, angles_spec)
+            a_lab = get_angles(
+                {bp: points_3d_labeled[:, j]
+                 for j, bp in enumerate(bodyparts)}, angles_spec)
+            for name in sorted(a_pred):
+                dd[f"{name}_lab"] = a_lab[name]
+                dd[f"{name}_pred"] = a_pred[name]
+                dd[f"{name}_error"] = a_pred[name] - a_lab[name]
         for j, bp in enumerate(bodyparts):
             dd[f"{bp}_x_lab"] = points_3d_labeled[:, j, 0]
             dd[f"{bp}_y_lab"] = points_3d_labeled[:, j, 1]

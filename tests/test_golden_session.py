@@ -431,3 +431,117 @@ def test_golden_process_session(tmp_path):
         _compare(ref, ours)
     # idempotent skip on both sides
     assert process_session_triangulate(cfg_o, sess_o) == []
+
+
+def test_golden_tracking_errors(tmp_path, monkeypatch):
+    """The reference's own tracking-error evaluator
+    (/root/reference/src/third_party/anipose/tracking_errors.py:28-157
+    ``get_errors_group``: triangulate human labels, undo the prediction
+    CSV's frame correction, per-bodypart L2 + reprojection errors +
+    angle errors) against ``session.get_tracking_errors`` on the same
+    labeled-data tree and pose-3d CSVs. The reference reads labels via
+    DLC pandas-HDF (pytables absent) — same IO-only loader shim as the
+    triangulation golden."""
+    import pandas as pd
+
+    _import_reference_triangulate()
+    import src.third_party.anipose.tracking_errors as ref_te
+
+    from macaque_tpu.tools.session import (
+        get_tracking_errors, load_pose2d_fnames as our_loader,
+        read_pose2d,
+    )
+
+    ref_te.load_pose2d_fnames = our_loader
+
+    root = os.path.join(str(tmp_path), "proj")
+    sess = os.path.join(root, "sessionA")
+    calib, pose, fnames, kp3d, scores = _make_session(
+        sess, n_frame=50, seed=51, drop=0.05)
+    os.makedirs(os.path.join(sess, "videos-raw"), exist_ok=True)
+    cfg = _config()
+    cfg["path"] = root
+    cfg["angles"] = {"bend": ["hipL", "neck", "nose"]}
+    csv3d = os.path.join(sess, "pose-3d", "vid-.csv")
+    os.makedirs(os.path.dirname(csv3d), exist_ok=True)
+    triangulate_session(cfg, calib, fnames, csv3d)
+
+    # labeled-data tree: per camera, noisy labels for a few frames,
+    # saved in BOTH filename conventions (ours: labels.h5, reference:
+    # CollectedData_<scorer>.h5); identical arrays
+    pick = [4, 17, 30, 41]
+    rng = np.random.default_rng(6)
+    labeled = os.path.join(root, "labeled-data")
+    group = []
+    calib_path = os.path.join(calib, "calibration.toml")
+    import h5py  # noqa: F401  (write_pose2d)
+
+    cam_names = sorted(fnames.keys())
+    for c, cam in enumerate(cam_names):
+        d = read_pose2d(fnames[cam])
+        lab = d["points"][pick] + rng.normal(0, 0.3,
+                                             (len(pick),
+                                              len(BODYPARTS), 2))
+        folder = f"vid--{cam}"
+        fdir = os.path.join(labeled, folder)
+        os.makedirs(fdir)
+        for fn in ("labels.h5", "CollectedData_x.h5"):
+            write_pose2d(lab, np.ones((len(pick), len(BODYPARTS))),
+                         BODYPARTS, os.path.join(fdir, fn))
+        pd.DataFrame({
+            "framenum": pick,
+            "calib": [calib_path] * len(pick),
+            "video": [os.path.join(sess, "videos-raw",
+                                   f"vid-cam{cam}.avi")] * len(pick),
+            "img": [f"img{n}.png" for n in pick],
+        }).to_csv(os.path.join(fdir, "anipose_metadata.csv"),
+                  index=False)
+        group.append((cam, folder))
+
+    import contextlib
+
+    @contextlib.contextmanager
+    def chdir(p):
+        old = os.getcwd()
+        os.chdir(p)
+        try:
+            yield
+        finally:
+            os.chdir(old)
+
+    with chdir(root):  # the reference hard-codes 'labeled-data'
+        ref = ref_te.get_errors_group(cfg, group, scorer="x")
+    our_csv = get_tracking_errors(cfg, labeled_dir=labeled)
+    ours = pd.read_csv(our_csv)
+
+    assert list(ref.columns) == list(ours.columns)
+    assert len(ref) == len(ours) == len(pick)
+    np.testing.assert_array_equal(ref["framenum"], ours["framenum"])
+    assert list(ref["img"]) == list(ours["img"])
+    for bp in BODYPARTS:
+        # predicted 3D: both sides read the same CSV and undo the same
+        # M/center — numerically identical
+        for ax in "xyz":
+            np.testing.assert_allclose(
+                ours[f"{bp}_{ax}_pred"], ref[f"{bp}_{ax}_pred"],
+                atol=1e-9, equal_nan=True, err_msg=f"{bp}_{ax}_pred")
+        np.testing.assert_allclose(
+            ours[f"{bp}_reprojerr_pred"], ref[f"{bp}_reprojerr_pred"],
+            atol=1e-9, equal_nan=True)
+        # labeled 3D: independent DLT formulations, estimator floor
+        r = np.asarray(ref[[f"{bp}_x_lab", f"{bp}_y_lab",
+                            f"{bp}_z_lab"]], float)
+        o = np.asarray(ours[[f"{bp}_x_lab", f"{bp}_y_lab",
+                             f"{bp}_z_lab"]], float)
+        assert np.array_equal(np.isnan(r), np.isnan(o)), bp
+        ok = ~np.isnan(r[:, 0])
+        assert np.max(np.linalg.norm(r[ok] - o[ok], axis=1)) < 3.0, bp
+        np.testing.assert_allclose(
+            ours[f"{bp}_reprojerr_lab"], ref[f"{bp}_reprojerr_lab"],
+            atol=0.2, equal_nan=True)
+        np.testing.assert_allclose(
+            ours[f"{bp}_error"], ref[f"{bp}_error"], atol=3.0,
+            equal_nan=True)
+    for col in ("bend_lab", "bend_pred", "bend_error"):
+        np.testing.assert_allclose(ours[col], ref[col], atol=0.5,
+                                   equal_nan=True, err_msg=col)
