@@ -162,7 +162,6 @@ def main(argv=None):
         result_dir = os.path.join(args.results, args.data)
 
     if args.cmd == "step1":
-        sys.path.insert(0, os.getcwd())
         from macaque_tpu.pipeline.weights import build_flax_perception
         from macaque_tpu.pipeline.step1 import run_step1
 
@@ -282,7 +281,6 @@ def main(argv=None):
                                          seed=args.seed,
                                          spacing=args.spacing)}
         elif args.cmd == "pose-videos":
-            sys.path.insert(0, os.getcwd())
             from macaque_tpu.pipeline.weights import build_flax_perception
 
             weights = args.weights or os.environ.get(
@@ -312,7 +310,6 @@ def main(argv=None):
     elif args.cmd == "eval-coco":
         import json as _json
 
-        sys.path.insert(0, os.getcwd())
         from macaque_tpu.pipeline.weights import build_flax_perception
         from macaque_tpu.tools.coco_eval import run_coco_eval
 

@@ -58,7 +58,18 @@ DEFAULT_SESSION_CONFIG = {
         "angles": "angles",
         "summaries": "summaries",
     },
-    "filter": {"enabled": False},
+    # full anipose filter defaults (reference anipose.py:53-62) so a
+    # config.toml naming only [filter] type gets the same thresholds
+    "filter": {
+        "enabled": False,
+        "type": "medfilt",
+        "medfilt": 13,
+        "offset_threshold": 25,
+        "score_threshold": 0.05,
+        "spline": True,
+        "n_back": 5,
+        "multiprocessing": False,
+    },
     "filter3d": {"enabled": False},
 }
 
@@ -505,12 +516,13 @@ def filter_pose_2d_file(config: dict, fname: str, outname: str) -> str:
 
             from macaque_tpu.filters.viterbi import viterbi_filter_joints
 
+            # fallbacks mirror the anipose defaults (anipose.py:53-62)
             pts, scs = viterbi_filter_joints(
                 jnp.asarray(points)[:, :, None, :],
                 jnp.asarray(scores)[:, :, None],
-                n_back=fcfg.get("n_back", 3),
-                thres_dist=fcfg.get("offset_threshold", 30.0),
-                score_threshold=fcfg.get("score_threshold", 0.3))
+                n_back=fcfg.get("n_back", 5),
+                thres_dist=fcfg.get("offset_threshold", 25.0),
+                score_threshold=fcfg.get("score_threshold", 0.05))
             points, scores = np.asarray(pts), np.asarray(scs)
         else:  # autoencoder score rescoring
             from macaque_tpu.filters.autoencoder import (
@@ -520,7 +532,7 @@ def filter_pose_2d_file(config: dict, fname: str, outname: str) -> str:
             params = load_autoencoder(fcfg["autoencoder_path"])
             scores = filter_scores_autoencoder(
                 params, scores,
-                score_threshold=fcfg.get("score_threshold", 0.5))
+                score_threshold=fcfg.get("score_threshold", 0.05))
     return write_pose2d(points, scores, bodyparts, outname)
 
 
@@ -613,15 +625,19 @@ def filter_pose_3d_csv(config: dict, fname: str, outname: str) -> str:
             vals = np.array(data[f"{bp}_{v}"], float)
             vals[bad] = np.nan
             nans = np.isnan(vals)
-            if nans.mean() <= 0.85:  # mostly-NaN series pass through
+            # interpolation is skipped for mostly-NaN series, but the
+            # median filter is ALWAYS applied — exactly the reference
+            # (interpolate_data:25-31 early-returns, medfilt_data runs
+            # unconditionally at filter_3d.py:48-49), so NaNs then
+            # propagate through the median windows
+            if nans.mean() <= 0.85 and nans.any():
                 ix = np.flatnonzero(~nans)
                 vals[nans] = np.interp(np.flatnonzero(nans), ix,
                                        vals[ix])
-                vp = np.pad(vals, (padsize, padsize), mode="median",
-                            stat_length=5)
-                vals = signal.medfilt(vp, kernel_size=size)[
-                    padsize:-padsize]
-            data[f"{bp}_{v}"] = vals
+            vp = np.pad(vals, (padsize, padsize), mode="median",
+                        stat_length=5)
+            data[f"{bp}_{v}"] = signal.medfilt(vp, kernel_size=size)[
+                padsize:-padsize]
         data[f"{bp}_error"] = 10  # reference's plotting hack, kept
     data.to_csv(outname, index=False)
     return outname

@@ -416,7 +416,6 @@ def render_filter_compare(vid_fnames: list, pose_fnames: list,
         for c, cap in enumerate(caps):
             ok, frame = cap.read()
             if not ok:
-                nframes = i
                 break
             sz = (widths[c], row_height)
             rows[0].append(cv2.resize(frame, sz))
@@ -447,24 +446,25 @@ def process_session_label_filter_compare(config: dict,
                           pipe.get("videos_compare", "videos-compare"))
     written = []
     for rec in _session_recordings(config, session_path):
-        cams = sorted(rec["pose2d"].keys())
         filt = {c: os.path.join(session_path, pipe["pose_2d_filter"],
                                 os.path.basename(rec["pose2d"][c]))
-                for c in cams}
+                for c in rec["pose2d"]}
         filt = {c: f for c, f in filt.items() if os.path.exists(f)}
-        cams = [c for c in cams if c in filt]
+        # one camera-keyed pairing for videos/poses/filtered — indexing
+        # three independently-sorted lists can cross camera streams
+        # (lexicographic '10' < '2' vs natural file order)
+        vid_by_cam = {get_cam_name(config, v): v for v in rec["videos"]}
+        cams = [c for c in sorted(filt, key=natural_keys)
+                if c in rec["pose2d"] and c in vid_by_cam]
         if not cams:
-            continue
-        vids = [v for v in rec["videos"]
-                if get_cam_name(config, v) in cams]
-        if not vids:
             continue
         os.makedirs(outdir, exist_ok=True)
         out = os.path.join(outdir, rec["name"] + ".mp4")
         if os.path.exists(out):
             continue
         written.append(render_filter_compare(
-            vids, [rec["pose2d"][c] for c in cams],
+            [vid_by_cam[c] for c in cams],
+            [rec["pose2d"][c] for c in cams],
             [filt[c] for c in cams], out, scheme))
     return written
 

@@ -29,7 +29,7 @@ from macaque_tpu.calib.workflow import (
 )
 from macaque_tpu.tools.synthetic import make_test_rig
 from tests.test_golden_calib import (
-    N_CAM, NOISE_PX, _centers, _chdir, _import_reference_mct,
+    N_CAM, NOISE_PX, _chdir, _import_reference_mct,
     _read_optim, _scale_aligned,
 )
 

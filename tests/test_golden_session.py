@@ -314,6 +314,10 @@ def test_golden_filter_3d(tmp_path):
     for bp in BODYPARTS:
         e = np.array(d[f"{bp}_error"], float)
         e[rng.random(len(e)) < 0.2] *= 400.0
+        if bp == "earL":
+            # >85% bad: interpolation must be SKIPPED but the median
+            # filter still applied (reference filter_3d.py:25-31 vs 48)
+            e[rng.random(len(e)) < 0.95] = 500.0
         d[f"{bp}_error"] = e
     d.to_csv(csv, index=False)
 

@@ -69,6 +69,59 @@ def test_label_filter_compare(project):
     assert all(len(v) == 0 for v in out2.values())
 
 
+def test_label_filter_compare_multidigit_cams(tmp_path):
+    """Camera pairing must survive lexicographic-vs-natural ordering
+    (cams 1, 2, 10): each row's labels must come from that camera's own
+    pose file. Distinct constant points per camera make misalignment
+    visible as drawn marks at the wrong tile."""
+    import pandas as pd  # noqa: F401
+
+    sess = os.path.join(str(tmp_path), "s1")
+    os.makedirs(os.path.join(sess, "videos-raw"))
+    os.makedirs(os.path.join(sess, "pose-2d"))
+    os.makedirs(os.path.join(sess, "pose-2d-filtered"))
+    cams = ["1", "2", "10"]
+    F = 4
+    # camera c's keypoint sits at a camera-specific x position
+    xpos = {"1": 10, "2": 30, "10": 50}
+    for c in cams:
+        vw = cv2.VideoWriter(
+            os.path.join(sess, "videos-raw", f"vid-cam{c}.avi"),
+            cv2.VideoWriter_fourcc(*"MJPG"), 24, (64, 48))
+        for _ in range(F):
+            vw.write(np.zeros((48, 64, 3), np.uint8))
+        vw.release()
+        pts = np.full((F, 1, 2), [xpos[c], 24.0])
+        for sub in ("pose-2d", "pose-2d-filtered"):
+            ses.write_pose2d(pts, np.ones((F, 1)), ["nose"],
+                             os.path.join(sess, sub, f"vid-cam{c}.h5"))
+
+    config = ses.load_session_config(
+        os.path.join(str(tmp_path), "missing.toml"))
+    config["path"] = str(tmp_path)
+    config["triangulation"]["cam_regex"] = r"cam([0-9]+)"
+    out = sx.label_filter_compare_all(config)
+    (written,) = [v for v in out.values() if v]
+    cap = cv2.VideoCapture(written[0])
+    ok, frame = cap.read()
+    cap.release()
+    assert ok
+    # natural camera order 1, 2, 10 -> tiles at x offsets 0, w, 2w;
+    # row 2 (labeled) must show camera c's dot inside tile c
+    h3 = frame.shape[0] // 3
+    w = frame.shape[1] // 3
+    scale = 320 / 48  # row_height / source height
+    row2 = frame[h3:2 * h3]
+    for tile, c in enumerate(["1", "2", "10"]):
+        x0 = tile * w
+        tile_img = row2[:, x0:x0 + w]
+        red = (tile_img[:, :, 2] > 150) & (tile_img[:, :, 1] < 100)
+        assert red.any(), c
+        xs = np.where(red.any(axis=0))[0]
+        expect = xpos[c] * scale
+        assert abs(xs.mean() - expect) < 25, (c, xs.mean(), expect)
+
+
 def test_label_videos_3d(tracked):
     config, sess, *_ = tracked
     out = sx.label_videos_3d_all(config)
