@@ -83,7 +83,7 @@ def main(argv=None):
                  "label-proj", "label-combined", "convert-videos",
                  "calibration-errors", "report", "filter-2d",
                  "filter-3d", "train-autoencoder",
-                 "label-filter-compare"):
+                 "label-filter-compare", "calibrate-session"):
         sp = sub.add_parser(name)
         sp.add_argument("--config", default="config.toml",
                         help="anipose project config.toml")
@@ -244,7 +244,8 @@ def main(argv=None):
                       "label-proj", "label-combined", "convert-videos",
                       "calibration-errors", "report", "extract-frames",
                       "pose-videos", "filter-2d", "filter-3d",
-                      "train-autoencoder", "label-filter-compare"):
+                      "train-autoencoder", "label-filter-compare",
+                      "calibrate-session"):
         from macaque_tpu.tools import session as ses
         from macaque_tpu.tools import session_extras as sx
 
@@ -259,6 +260,9 @@ def main(argv=None):
             out = {(): [ses.train_autoencoder_project(config)]}
         elif args.cmd == "label-filter-compare":
             out = sx.label_filter_compare_all(config)
+        elif args.cmd == "calibrate-session":
+            out = {k: ([v] if v else [])
+                   for k, v in ses.calibrate_all(config).items()}
         elif args.cmd == "project-2d":
             out = ses.project_2d_all(config)
         elif args.cmd == "label-videos":

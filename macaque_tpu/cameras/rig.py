@@ -249,7 +249,12 @@ class CameraRig:
         dist_arr = np.zeros((len(dist), maxd))
         for i, d in enumerate(dist):
             dist_arr[i, : d.shape[0]] = d
-        meta = {k: v for k, v in data.items() if not k.startswith("cam_")}
+        # flatten the [metadata] section (reference CameraGroup.load
+        # sets cgroup.metadata = master_dict['metadata']); keep any
+        # other top-level keys alongside so round-trips are lossless
+        meta = {k: v for k, v in data.items()
+                if not k.startswith("cam_") and k != "metadata"}
+        meta.update(data.get("metadata", {}))
         return CameraRig(
             camera_ids=ids,
             K=np.stack(K),

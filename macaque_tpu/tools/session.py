@@ -53,10 +53,23 @@ DEFAULT_SESSION_CONFIG = {
         "pose_2d_projected": "pose-2d-proj",
         "pose_3d": "pose-3d",
         "pose_3d_filter": "pose-3d-filtered",
+        "calibration_videos": "calibration",
         "calibration_results": "calibration",
         "videos_labeled_2d": "videos-labeled",
         "angles": "angles",
         "summaries": "summaries",
+        "videos_compare": "videos-compare",
+    },
+    "calibration": {
+        "animal_calibration": False,
+        "calibration_init": None,
+        "fisheye": False,
+        "board_type": "charuco",
+        "board_size": [10, 7],
+        "board_square_side_length": 25.0,
+        "board_marker_length": 18.75,
+        "board_marker_bits": 4,
+        "board_marker_dict_number": 50,
     },
     # full anipose filter defaults (reference anipose.py:53-62) so a
     # config.toml naming only [filter] type gets the same thresholds
@@ -162,12 +175,16 @@ def process_all(config: dict, process_session, **args) -> dict:
 def find_calibration_folder(config: dict,
                             session_path: str) -> Optional[str]:
     """Walk up from the session folder until a folder containing the
-    calibration subfolder is found (reference common.py:171-186)."""
-    calib_name = config["pipeline"]["calibration_results"]
+    calibration subfolder is found (reference common.py:171-186 keys on
+    calibration_videos; calibration_results is also accepted so trees
+    that only carry results — e.g. a shipped calibration.toml — still
+    resolve)."""
+    names = {config["pipeline"].get("calibration_videos", "calibration"),
+             config["pipeline"]["calibration_results"]}
     path = os.path.abspath(session_path)
     root = os.path.abspath(config["path"])
     while True:
-        if os.path.isdir(os.path.join(path, calib_name)):
+        if any(os.path.isdir(os.path.join(path, n)) for n in names):
             return path
         if path == root or os.path.dirname(path) == path:
             return None
@@ -474,6 +491,203 @@ def process_session_triangulate(config: dict, session_path: str):
 
 def triangulate_all(config: dict) -> dict:
     return process_all(config, process_session_triangulate)
+
+
+# --------------------------------------------------------------------------
+# project calibration (reference calibrate.py + common.py:189-218)
+# --------------------------------------------------------------------------
+
+
+def get_calibration_board(config: dict):
+    """Board object from config['calibration'] (reference
+    common.py:189-218; aruco plain boards are unimplemented there too)."""
+    from macaque_tpu.calib.videos import CharucoBoard, Checkerboard
+
+    calib = config["calibration"]
+    bs = calib["board_size"]
+    bt = str(calib["board_type"]).lower()
+    if bt == "charuco":
+        import cv2
+
+        bits = int(calib.get("board_marker_bits", 4))
+        num = int(calib.get("board_marker_dict_number", 50))
+        dict_id = getattr(cv2.aruco, f"DICT_{bits}X{bits}_{num}", None)
+        return CharucoBoard(
+            squares_x=int(bs[0]), squares_y=int(bs[1]),
+            square_length=float(calib["board_square_side_length"]),
+            marker_length=float(calib["board_marker_length"]),
+            dict_id=dict_id)
+    if bt == "checkerboard":
+        return Checkerboard(
+            cols=int(bs[0]), rows=int(bs[1]),
+            square_size=float(calib["board_square_side_length"]))
+    raise ValueError(
+        f"board_type should be 'charuco' or 'checkerboard', not {bt!r}"
+        " ('aruco' is unimplemented, as in the reference)")
+
+
+def process_session_calibrate(config: dict, session_path: str):
+    """Calibrate a session's rig from recorded board videos into
+    calibration.toml (reference calibrate.py:120-227 ``process_session``:
+    detections cached in detections.pickle, skip-if-done,
+    calibration_init reuse, optional animal_calibration refinement on
+    the project's own pose-2d detections)."""
+    import pickle
+
+    from macaque_tpu.compat.aniposelib import CameraGroup
+
+    pipe = config["pipeline"]
+    calibration_path = find_calibration_folder(config, session_path)
+    if calibration_path is None:
+        return None
+
+    videos = sorted(glob(os.path.join(
+        calibration_path, pipe["calibration_videos"],
+        "*." + config["video_extension"])))
+    cam_videos = defaultdict(list)
+    for vid in videos:
+        cam_videos[get_cam_name(config, vid)].append(vid)
+    cam_names = sorted(cam_videos)
+    video_list = [sorted(cam_videos[c]) for c in cam_names]
+
+    outdir = os.path.join(calibration_path, pipe["calibration_results"])
+    outname = os.path.join(outdir, "calibration.toml")
+
+    skip_calib = False
+    init_stuff = True
+    error = None
+    if os.path.exists(outname):
+        cgroup = CameraGroup.load(outname)
+        meta = cgroup.rig.metadata
+        if (not config["calibration"]["animal_calibration"]) or \
+                meta.get("adjusted"):
+            return None
+        skip_calib = True
+        error = meta.get("error")
+        init_stuff = False
+    elif config["calibration"]["calibration_init"] is not None:
+        cgroup = CameraGroup.load(os.path.join(
+            config["path"], config["calibration"]["calibration_init"]))
+        init_stuff = False
+        skip_calib = len(videos) == 0
+    else:
+        if len(videos) == 0:
+            return None
+        if config["calibration"]["fisheye"]:
+            raise ValueError("fisheye calibration is not supported by "
+                             "the omnidir compute path")
+        import cv2
+
+        sizes = []
+        for vids in video_list:
+            cap = cv2.VideoCapture(vids[0])
+            sizes.append((int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+                          int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))))
+            cap.release()
+        cgroup = CameraGroup.from_names(cam_names, img_size=sizes[0])
+
+    board = get_calibration_board(config)
+    if not skip_calib:
+        from macaque_tpu.calib.videos import detect_board_video
+
+        os.makedirs(outdir, exist_ok=True)
+        rows_fname = os.path.join(outdir, "detections.pickle")
+        if os.path.exists(rows_fname):
+            with open(rows_fname, "rb") as f:
+                all_rows = pickle.load(f)
+        else:
+            all_rows = []
+            for vids in video_list:
+                rows_cam = []
+                for vnum, vidname in enumerate(vids):
+                    rows_cam.extend(detect_board_video(vidname, board,
+                                                       prefix=vnum))
+                all_rows.append(rows_cam)
+            with open(rows_fname, "wb") as f:
+                pickle.dump(all_rows, f)
+        error = cgroup.calibrate_rows(all_rows, board,
+                                      init_intrinsics=init_stuff,
+                                      init_extrinsics=init_stuff,
+                                      verbose=False)
+
+    cgroup.rig.metadata["adjusted"] = False
+    if error is not None:
+        cgroup.rig.metadata["error"] = float(error)
+    os.makedirs(outdir, exist_ok=True)
+    cgroup.dump(outname)
+
+    if config["calibration"]["animal_calibration"]:
+        pts, cams = _project_animal_points(config, calibration_path)
+        cgroup = cgroup.subset_cameras_names(cams)
+        error = cgroup.bundle_adjust_iter(pts, n_iters=4, verbose=False)
+        cgroup.rig.metadata["adjusted"] = True
+        cgroup.rig.metadata["error"] = float(error)
+        cgroup.dump(outname)
+    return outname
+
+
+def _project_animal_points(config: dict, calibration_path: str):
+    """Gather the project's own pose-2d detections under the calibration
+    folder and prune them for calibration refinement (reference
+    calibrate.py:28-118 ``load_2d_data`` + score-percentile /
+    min-2-camera pruning of ``process_points_for_calibration``)."""
+    sub = dict(config)
+    sub["path"] = calibration_path
+    pose_key = "pose_2d_filter" if config["filter"]["enabled"] \
+        else "pose_2d"
+
+    cam_videos = defaultdict(list)
+    all_cam_names = set()
+
+    def collect(cfg, session_path):
+        for f in glob(os.path.join(session_path,
+                                   config["pipeline"][pose_key], "*.h5")):
+            cam_videos[(session_path,
+                        get_video_name(config, f))].append(f)
+            all_cam_names.add(get_cam_name(config, f))
+        return []
+
+    # the calibration folder may be the session itself (nesting offset,
+    # reference calibrate.py:31-38) — walk both depths
+    for nesting in range(config.get("nesting", 1) + 1):
+        sub["nesting"] = nesting
+        process_all(sub, collect)
+        if cam_videos:
+            break
+
+    all_cam_names = sorted(all_cam_names)
+    blocks, scores_blocks = [], []
+    for key in sorted(cam_videos):
+        fnames = sorted(cam_videos[key])
+        cams = [get_cam_name(config, f) for f in fnames]
+        out = load_pose2d_fnames(dict(zip(cams, fnames)),
+                                 load_offsets_dict(config, cams), cams)
+        C, F, J, _ = out["points"].shape
+        pts = np.full((len(all_cam_names), F, J, 2), np.nan)
+        scs = np.full((len(all_cam_names), F, J), np.nan)
+        for i, c in enumerate(all_cam_names):
+            if c in cams:
+                pts[i] = out["points"][cams.index(c)]
+                scs[i] = out["scores"][cams.index(c)]
+        blocks.append(pts)
+        scores_blocks.append(scs)
+    points = np.hstack(blocks).reshape(len(all_cam_names), -1, 2)
+    scores = np.hstack(scores_blocks).reshape(len(all_cam_names), -1)
+
+    scores[np.isnan(points[..., 0])] = 0
+    thres = max(min(np.percentile(scores, 90), 0.95), 0.8)
+    points[scores < thres] = np.nan
+    good = (~np.isnan(points[..., 0])).sum(axis=0) >= 2
+    points = points[:, good]
+    if points.shape[1] > 100_000:
+        rng = np.random.default_rng(0)
+        points = points[:, rng.choice(points.shape[1], 100_000,
+                                      replace=False)]
+    return points, all_cam_names
+
+
+def calibrate_all(config: dict) -> dict:
+    return process_all(config, process_session_calibrate)
 
 
 # --------------------------------------------------------------------------

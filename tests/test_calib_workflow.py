@@ -619,3 +619,77 @@ def test_camera_group_calibrate_rows():
 
     # intrinsics land near the true focal length
     assert abs(group.rig.K[0, 0, 0] - 600) / 600 < 0.05
+
+
+# --------------------------------------------------------------------------
+# anipose project-level calibrate driver (reference calibrate.py)
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_calibrate_session_from_videos(tmp_path):
+    """`calibrate-session`: board videos under <session>/calibration/ ->
+    calibration.toml (reference calibrate.py:120-227): detections cached
+    in detections.pickle, skip-if-done, error recorded in metadata."""
+    from macaque_tpu.calib.graph_init import get_rtvec, make_M
+    from macaque_tpu.compat.aniposelib import CameraGroup
+    from macaque_tpu.tools import session as ses
+
+    rng = np.random.default_rng(11)
+    n_cam = 2
+    cam_M = [make_M(rng.normal(0, 0.03, 3),
+                    np.array([-80.0 + 160.0 * i, rng.normal(0, 8),
+                              rng.normal(0, 8)]))
+             for i in range(n_cam)]
+    views = [make_M(np.array([np.pi, 0, 0]) + rng.uniform(-0.3, 0.3, 3),
+                    np.array([rng.uniform(-60, 40), rng.uniform(-40, 20),
+                              rng.uniform(520, 760)]))
+             for _ in range(9)]
+
+    root = tmp_path
+    sess = root / "sessionA"
+    calib_dir = sess / "calibration"
+    calib_dir.mkdir(parents=True)
+    for i, name in enumerate("AB"):
+        vw = cv2.VideoWriter(str(calib_dir / f"calib-cam{name}.avi"),
+                             cv2.VideoWriter_fourcc(*"MJPG"), 24,
+                             (IMG_W, IMG_H))
+        for M_board in views:
+            rvec, tvec = get_rtvec(cam_M[i] @ M_board)
+            fr = render_board_view(rvec, tvec)
+            vw.write(cv2.cvtColor(fr, cv2.COLOR_GRAY2BGR))
+        vw.release()
+
+    config = ses.load_session_config(str(root / "missing.toml"))
+    config["path"] = str(root)
+    config["triangulation"]["cam_regex"] = r"cam([A-Z])"
+    config["calibration"].update(board_type="checkerboard",
+                                 board_size=[9, 6],
+                                 board_square_side_length=23.0)
+
+    out = ses.calibrate_all(config)
+    (toml_path,) = [v for v in out.values() if v]
+    assert os.path.exists(toml_path)
+    assert os.path.exists(str(calib_dir / "detections.pickle"))
+
+    group = CameraGroup.load(toml_path)
+    assert group.get_names() == ["A", "B"]
+    assert group.rig.metadata["adjusted"] is False
+    # calibration reaches the corner-detection noise floor
+    assert group.rig.metadata["error"] < 1.0, group.rig.metadata
+
+    # focal length near truth; relative baseline near truth up to the
+    # BA scale gauge
+    assert abs(group.rig.K[0, 0, 0] - 600) / 600 < 0.08
+    import macaque_tpu.calib.workflow as wf
+
+    got_rel = wf.camera_position(group.rig.rvec[1], group.rig.tvec[1]) \
+        - wf.camera_position(group.rig.rvec[0], group.rig.tvec[0])
+    gt_rel = wf.camera_position(*get_rtvec(cam_M[1])) \
+        - wf.camera_position(*get_rtvec(cam_M[0]))
+    gt_rel = cam_M[0][:3, :3] @ gt_rel
+    scale = np.linalg.norm(gt_rel) / max(np.linalg.norm(got_rel), 1e-9)
+    assert abs(scale - 1) < 0.08, scale
+
+    # skip-if-done (reference calibrate.py:158-165)
+    assert all(v is None for v in ses.calibrate_all(config).values())
