@@ -179,7 +179,11 @@ def process_camera(
                 det_boxes = boxes_all[bi][keep]
                 det_scores = scores_all[bi][keep]
                 if det_boxes.shape[0] == 0:
+                    # the reference skips the tracker entirely on frames
+                    # with no above-threshold detections (step1:229-236),
+                    # so lost-track aging counts detection frames only
                     missed_detections += 1
+                    continue
                 tb, tids = tracker.update(det_boxes, det_scores)
                 if det_boxes.shape[0] > 0 and len(tids) == 0:
                     missed_tracks += 1
