@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from macaque_tpu.cameras.fisheye import FisheyeCamera, fisheye_project
 from macaque_tpu.cameras.omnidir import OmnidirCamera, omnidir_project
 from macaque_tpu.geometry.lm import lm_solve, LMConfig
 
@@ -108,6 +109,85 @@ def calibrate_intrinsics_omnidir(
             x[10 + 3 * V :].reshape(V, 3), rms)
 
 
+def calibrate_intrinsics_fisheye(
+    obj_points: np.ndarray,
+    img_points: np.ndarray,
+    init_f: float = 800.0,
+    init_c: Optional[tuple] = None,
+    img_size: tuple = (2048, 1536),
+    init_rvecs: Optional[np.ndarray] = None,
+    init_tvecs: Optional[np.ndarray] = None,
+    nd: int = 2,
+    # the f<->depth valley of planar views is long and narrow: from a
+    # pinhole-seeded (biased) init the solve needs ~400+ accepted steps
+    # to walk it (measured: 200 iters stalls 10% off, 600 converges to
+    # 0.06% focal error). Calibration is offline — spend the budget.
+    cfg: LMConfig = LMConfig(lm_iters=600, cg_iters=400, ftol=1e-15),
+):
+    """Single-camera equidistant-fisheye intrinsic calibration.
+
+    obj_points: (V, N, 3) board points in board frame per view
+    img_points: (V, N, 2) detected pixels (NaN = missing)
+    Returns (K (3,3), D (4,), rvecs (V,3), tvecs (V,3), rms).
+
+    The TPU-native stand-in for ``cv2.fisheye.calibrate``: a direct LM
+    fit of f (fx=fy), cx, cy, the first ``nd`` Kannala-Brandt
+    coefficients, and per-view board poses. Multiple tilted views make
+    the focal identifiable (planar-calibration geometry), which the
+    group bundle alone cannot do from a pinhole ``initCameraMatrix2D``
+    seed — that seed is systematically biased on equidistant images.
+    The reference has no fisheye intrinsic driver at all (its generic
+    calibrate_rows feeds the biased seed straight into the bundle,
+    aniposelib cameras.py:1891-1926)."""
+    V, N, _ = obj_points.shape
+    if init_c is None:
+        init_c = (img_size[0] / 2, img_size[1] / 2)
+
+    rv0 = init_rvecs if init_rvecs is not None else np.zeros((V, 3))
+    tv0 = init_tvecs if init_tvecs is not None \
+        else np.tile(np.array([0.0, 0.0, 1000.0]), (V, 1))
+
+    x0 = np.concatenate([
+        np.array([init_f, init_c[0], init_c[1]]),
+        np.zeros(nd),
+        rv0.ravel(), tv0.ravel(),
+    ])
+
+    obj_j = jnp.asarray(obj_points)
+    img_j = jnp.asarray(img_points)
+    valid = ~jnp.isnan(img_j[..., 0])
+
+    def resid(x):
+        f, cx, cy = x[0], x[1], x[2]
+        K = jnp.array([[1.0, 0.0, 0.0],
+                       [0.0, 1.0, 0.0],
+                       [0.0, 0.0, 1.0]]) * f
+        K = K.at[0, 2].set(cx).at[1, 2].set(cy).at[2, 2].set(1.0)
+        D = jnp.zeros(4).at[:nd].set(x[3 : 3 + nd])
+        rv = x[3 + nd : 3 + nd + 3 * V].reshape(V, 3)
+        tv = x[3 + nd + 3 * V :].reshape(V, 3)
+
+        def proj_view(r, t, pts):
+            c = FisheyeCamera(K=K, D=D, rvec=r, tvec=t)
+            return fisheye_project(c, pts)
+
+        proj = jax.vmap(proj_view)(rv, tv, obj_j)
+        err = jnp.where(valid[..., None], jnp.nan_to_num(img_j) - proj, 0.0)
+        return err.ravel()
+
+    x = lm_solve(resid, jnp.asarray(x0), cfg)
+    r = resid(x)
+    n_obs = int(np.asarray(valid).sum()) * 2
+    rms = float(jnp.sqrt(jnp.sum(r ** 2) / max(n_obs, 1)))
+    x = np.asarray(x)
+    K = np.array([[x[0], 0.0, x[1]], [0.0, x[0], x[2]], [0.0, 0.0, 1.0]])
+    D = np.zeros(4)
+    D[:nd] = x[3 : 3 + nd]
+    return (K, D,
+            x[3 + nd : 3 + nd + 3 * V].reshape(V, 3),
+            x[3 + nd + 3 * V :].reshape(V, 3), rms)
+
+
 def bundle_adjust_extrinsics(
     rig_K: np.ndarray, rig_xi: np.ndarray, rig_D: np.ndarray,
     rvec0: np.ndarray, tvec0: np.ndarray,
@@ -152,6 +232,68 @@ def bundle_adjust_extrinsics(
     x = np.asarray(x)
     return (x[: 3 * C].reshape(C, 3), x[3 * C : 6 * C].reshape(C, 3),
             x[6 * C :].reshape(P, 3), rms)
+
+
+def bundle_adjust_fisheye(
+    rig_K: np.ndarray, rig_D: np.ndarray,
+    rvec0: np.ndarray, tvec0: np.ndarray,
+    obs: np.ndarray, points0: np.ndarray,
+    fix_cam0: bool = True,
+    extra_dist: bool = False,
+    cfg: LMConfig = LMConfig(lm_iters=60, cg_iters=100, ftol=1e-9),
+):
+    """Fisheye-rig BA over the reference's FisheyeCamera parameter set:
+    rvec, tvec, single focal f (fx=fy), k1 (+ k2 when ``extra_dist``),
+    with cx/cy held fixed (reference cameras.py:392-418
+    FisheyeCamera.set_params/get_params) + the shared 3D structure.
+    Returns (K, D, rvecs, tvecs, points, rms)."""
+    C, P, _ = obs.shape
+    obs_j = jnp.asarray(obs)
+    valid = ~jnp.isnan(obs_j[..., 0])
+    rv_fixed = jnp.asarray(rvec0[0])
+    tv_fixed = jnp.asarray(tvec0[0])
+    K_base = jnp.asarray(rig_K)
+    D_base = jnp.asarray(rig_D)
+
+    nd = 2 if extra_dist else 1
+    intr0 = np.zeros((C, 1 + nd))
+    intr0[:, 0] = (rig_K[:, 0, 0] + rig_K[:, 1, 1]) / 2
+    intr0[:, 1:] = rig_D[:, :nd]
+
+    x0 = np.concatenate([
+        rvec0.ravel(), tvec0.ravel(), intr0.ravel(), points0.ravel()
+    ])
+    ni = C * (1 + nd)
+
+    def resid(x):
+        rv = x[: 3 * C].reshape(C, 3)
+        tv = x[3 * C : 6 * C].reshape(C, 3)
+        if fix_cam0:
+            rv = rv.at[0].set(rv_fixed)
+            tv = tv.at[0].set(tv_fixed)
+        intr = x[6 * C : 6 * C + ni].reshape(C, 1 + nd)
+        f = intr[:, 0]
+        K = K_base.at[:, 0, 0].set(f).at[:, 1, 1].set(f)
+        D = D_base.at[:, :nd].set(intr[:, 1:])
+        pts = x[6 * C + ni :].reshape(P, 3)
+        cam = FisheyeCamera(K=K, D=D, rvec=rv, tvec=tv)
+        proj = fisheye_project(cam, pts)
+        err = jnp.where(valid[..., None], jnp.nan_to_num(obs_j) - proj, 0.0)
+        return err.ravel()
+
+    x = lm_solve(resid, jnp.asarray(x0), cfg)
+    r = resid(x)
+    n_obs = int(np.asarray(valid).sum()) * 2
+    rms = float(jnp.sqrt(jnp.sum(r ** 2) / max(n_obs, 1)))
+    x = np.asarray(x)
+    intr = x[6 * C : 6 * C + ni].reshape(C, 1 + nd)
+    K = np.asarray(rig_K, float).copy()
+    K[:, 0, 0] = intr[:, 0]
+    K[:, 1, 1] = intr[:, 0]
+    D = np.asarray(rig_D, float).copy()
+    D[:, :nd] = intr[:, 1:]
+    return (K, D, x[: 3 * C].reshape(C, 3), x[3 * C : 6 * C].reshape(C, 3),
+            x[6 * C + ni :].reshape(P, 3), rms)
 
 
 def bundle_adjust_full(

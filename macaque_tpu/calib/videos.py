@@ -220,11 +220,39 @@ def detect_board_images(images: Sequence[np.ndarray], board,
     return rows
 
 
-def estimate_pose_rows(rows: list[dict], board, mtx, dist) -> list[dict]:
+def estimate_pose_rows(rows: list[dict], board, mtx, dist,
+                       camera=None) -> list[dict]:
     """Attach board pose (rvec/tvec) to each row via PnP
-    (boards.py:349-356)."""
+    (boards.py:349-356).
+
+    With ``camera`` (a camera pytree), corners are first normalized
+    through the camera model and PnP runs with an identity matrix —
+    the reference's estimate_pose_points path (boards.py:357-368 calls
+    camera.undistort_points then solvePnP with eye(3)), which is what
+    makes fisheye pose init unbiased."""
+    if camera is None:
+        for row in rows:
+            pose = board.estimate_pose(row["corners"], row["ids"],
+                                       mtx, dist)
+            row["rvec"], row["tvec"] = (pose if pose is not None
+                                        else (None, None))
+        return rows
+
+    import jax.numpy as jnp
+
+    from macaque_tpu.cameras.dispatch import undistort_points
+
+    eye = np.eye(3)
+    zero = np.zeros(5)
     for row in rows:
-        pose = board.estimate_pose(row["corners"], row["ids"], mtx, dist)
+        corners = row["corners"]
+        if corners is None or len(corners) < 4:
+            row["rvec"], row["tvec"] = None, None
+            continue
+        norm = np.asarray(undistort_points(
+            camera, jnp.asarray(np.asarray(corners, float)
+                                .reshape(1, -1, 2))))[0]
+        pose = board.estimate_pose(norm, row["ids"], eye, zero)
         row["rvec"], row["tvec"] = pose if pose is not None else (None, None)
     return rows
 

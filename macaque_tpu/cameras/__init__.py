@@ -9,6 +9,15 @@ the TPU and differentiate for bundle adjustment.
 """
 
 from macaque_tpu.cameras.rotation import rodrigues, rodrigues_inv, rotate_points
+from macaque_tpu.cameras.dispatch import (
+    project_points,
+    undistort_points,
+)
+from macaque_tpu.cameras.fisheye import (
+    FisheyeCamera,
+    fisheye_project,
+    fisheye_undistort,
+)
 from macaque_tpu.cameras.omnidir import (
     OmnidirCamera,
     omnidir_project,
@@ -33,5 +42,10 @@ __all__ = [
     "PinholeCamera",
     "pinhole_project",
     "pinhole_undistort",
+    "FisheyeCamera",
+    "fisheye_project",
+    "fisheye_undistort",
+    "project_points",
+    "undistort_points",
     "CameraRig",
 ]

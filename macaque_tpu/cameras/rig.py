@@ -41,15 +41,41 @@ class CameraRig:
     dist: Optional[np.ndarray] = None  # (n_cam, n_dist)
     size: Optional[tuple[int, int]] = None  # (width, height)
     metadata: dict = field(default_factory=dict)
+    # "omnidir": K/xi/D hold Mei parameters (pinhole loads map onto it
+    # exactly with xi=0). "fisheye": K holds the pinhole matrix, D the
+    # four equidistant coefficients, xi is unused (reference
+    # FisheyeCamera, aniposelib cameras.py:339-421). Rigs are
+    # homogeneous, like anipose's per-project `calibration.fisheye`
+    # switch (calibrate.py:181).
+    model: str = "omnidir"
 
     @property
     def n_cam(self) -> int:
         return len(self.camera_ids)
 
+    def camera(self):
+        """Stacked camera pytree for this rig's model (device-ready)."""
+        if self.model == "fisheye":
+            import jax.numpy as jnp
+
+            from macaque_tpu.cameras.fisheye import FisheyeCamera
+
+            return FisheyeCamera(
+                K=jnp.asarray(self.K),
+                D=jnp.asarray(self.D),
+                rvec=jnp.asarray(self.rvec),
+                tvec=jnp.asarray(self.tvec),
+            )
+        return self.omni()
+
     def omni(self) -> OmnidirCamera:
         """Stacked omnidir camera pytree (device-ready, float of input dtype)."""
         import jax.numpy as jnp
 
+        if self.model != "omnidir":
+            raise ValueError(
+                f"rig model is {self.model!r}; use camera() for the "
+                "model-generic pytree")
         return OmnidirCamera(
             K=jnp.asarray(self.K),
             xi=jnp.asarray(self.xi),
@@ -96,6 +122,7 @@ class CameraRig:
             dist=None if self.dist is None else self.dist[idx],
             size=self.size,
             metadata=dict(self.metadata),
+            model=self.model,
         )
 
     def subset_by_names(self, names: Sequence[str]) -> "CameraRig":
@@ -204,6 +231,7 @@ class CameraRig:
         )
         ids, K, xi, D, rvec, tvec, mtx, dist = [], [], [], [], [], [], [], []
         size = None
+        models = []
         for k in sections:
             c = data[k]
             ids.append(str(c.get("name", k)))
@@ -212,6 +240,20 @@ class CameraRig:
             dist.append(dd)
             rvec.append(np.asarray(c["rotation"], dtype=np.float64).ravel())
             tvec.append(np.asarray(c["translation"], dtype=np.float64).ravel())
+            if c.get("fisheye") and not (c.get("omnidir") or c.get("Omnidir")):
+                # equidistant fisheye section (reference
+                # FisheyeCamera.get_dict, cameras.py:361-365: matrix +
+                # 4 distortion coefficients + fisheye=true)
+                models.append("fisheye")
+                K.append(np.asarray(c["matrix"], dtype=np.float64))
+                xi.append(0.0)
+                d4 = np.zeros(4)
+                d4[: min(4, dd.shape[0])] = dd[:4]
+                D.append(d4)
+                if "size" in c and size is None:
+                    size = (int(c["size"][0]), int(c["size"][1]))
+                continue
+            models.append("omnidir")
             if "K" in c or c.get("omnidir"):
                 # omnidir (Mei) calibration: separate K/xi/D block
                 K.append(np.asarray(c.get("K", np.eye(3)), dtype=np.float64))
@@ -224,13 +266,8 @@ class CameraRig:
                 # matrix + distortions only). The Mei model with xi=0 IS
                 # the pinhole model with (k1, k2, p1, p2) — exact, no
                 # approximation (cameras/omnidir.py: m = X/Z at xi=0).
-                # k3+ terms and the equidistant fisheye model are not
-                # representable; parity pinned by
+                # k3+ terms are not representable; parity pinned by
                 # tests/test_golden_aniposelib.py::test_golden_pinhole.
-                if c.get("fisheye"):
-                    raise ValueError(
-                        f"{k}: fisheye (equidistant) calibrations are "
-                        "not supported by the omnidir compute path")
                 if dd.shape[0] > 4 and np.any(np.abs(dd[4:]) > 0):
                     import warnings
 
@@ -255,7 +292,14 @@ class CameraRig:
         meta = {k: v for k, v in data.items()
                 if not k.startswith("cam_") and k != "metadata"}
         meta.update(data.get("metadata", {}))
+        model = models[0] if models else "omnidir"
+        if any(m != model for m in models):
+            raise ValueError(
+                f"{path}: mixed camera models {sorted(set(models))} in one "
+                "rig are not supported (anipose selects fisheye per "
+                "project, calibrate.py:181)")
         return CameraRig(
+            model=model,
             camera_ids=ids,
             K=np.stack(K),
             xi=np.asarray(xi),
@@ -278,6 +322,22 @@ class CameraRig:
         from macaque_tpu.utils.tomlwriter import dump_toml
 
         doc: dict = {}
+        if self.model == "fisheye":
+            # reference FisheyeCamera.get_dict (cameras.py:361-365):
+            # matrix + 4 equidistant coefficients + fisheye=true
+            for i, cid in enumerate(self.camera_ids):
+                doc[f"cam_{i}"] = {
+                    "name": str(cid),
+                    "size": list(self.size) if self.size else [2048, 1536],
+                    "matrix": self.K[i].tolist(),
+                    "distortions": self.D[i].tolist(),
+                    "rotation": self.rvec[i].tolist(),
+                    "translation": self.tvec[i].tolist(),
+                    "fisheye": True,
+                }
+            doc["metadata"] = {"adjusted": False, **self.metadata}
+            dump_toml(doc, path)
+            return
         for i, cid in enumerate(self.camera_ids):
             m = self.mtx[i].copy() if self.mtx is not None else self.K[i].copy()
             if halve_mtx:

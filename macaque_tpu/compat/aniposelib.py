@@ -99,33 +99,37 @@ class _CameraView:
 
     def undistort_points(self, points):
         """Raw pixels (N, 2) -> normalized image-plane coords (N, 2)
-        (reference OmnidirCamera.undistort_points, cameras.py:498)."""
+        (reference OmnidirCamera.undistort_points, cameras.py:498;
+        FisheyeCamera.undistort_points, cameras.py:376-382)."""
         import jax.numpy as jnp
-        from macaque_tpu.cameras.omnidir import omnidir_undistort
+        from macaque_tpu.cameras.dispatch import undistort_points
 
-        sub = self._g.rig.subset([self._i]).omni()
+        sub = self._g.rig.subset([self._i]).camera()
         p = np.asarray(points, float).reshape(1, -1, 2)
-        return np.asarray(omnidir_undistort(sub, jnp.asarray(p)))[0]
+        return np.asarray(undistort_points(sub, jnp.asarray(p)))[0]
 
     def distort_points(self, points):
         """Normalized image-plane coords (N, 2) -> raw pixels (N, 2)
-        (reference OmnidirCamera.distort_points, cameras.py:487):
-        lift to a ray and project through the full Mei model without
-        the extrinsic transform."""
+        (reference OmnidirCamera.distort_points, cameras.py:487;
+        FisheyeCamera.distort_points, cameras.py:366-375): lift to a
+        ray and project through the full model without the extrinsic
+        transform."""
+        import jax
         import jax.numpy as jnp
-        from macaque_tpu.cameras.omnidir import OmnidirCamera, \
-            omnidir_project
+        from macaque_tpu.cameras.dispatch import project_points
 
         sub = self._g.rig.subset([self._i])
         p = np.asarray(points, float).reshape(-1, 2)
         rays = np.concatenate([p, np.ones((len(p), 1))], axis=1)
-        ident = OmnidirCamera(
-            K=jnp.asarray(np.asarray(sub.K, float)),
-            xi=jnp.asarray(np.asarray(sub.xi, float)),
-            D=jnp.asarray(np.asarray(sub.D, float)),
-            rvec=jnp.zeros((1, 3)), tvec=jnp.zeros((1, 3)),
+        ident_rig = CameraRig(
+            camera_ids=list(sub.camera_ids),
+            K=np.asarray(sub.K, float), xi=np.asarray(sub.xi, float),
+            D=np.asarray(sub.D, float),
+            rvec=np.zeros((1, 3)), tvec=np.zeros((1, 3)),
+            model=sub.model,
         )
-        return np.asarray(omnidir_project(ident, jnp.asarray(rays)))[0]
+        return np.asarray(
+            project_points(ident_rig.camera(), jnp.asarray(rays)))[0]
 
     def resize_camera(self, scale):
         """Scale intrinsics for resized images (cameras.py:
@@ -184,10 +188,12 @@ class CameraGroup:
         return CameraGroup(CameraRig.from_calibration_toml(calibration_toml))
 
     @staticmethod
-    def from_names(names: Sequence[str],
+    def from_names(names: Sequence[str], fisheye: bool = False,
                    img_size=(2048, 1536)) -> "CameraGroup":
-        """Uncalibrated group (reference cameras.py CameraGroup.from_names)
-        — a starting point for :meth:`calibrate_videos`."""
+        """Uncalibrated group (reference cameras.py:1984-1992
+        CameraGroup.from_names; ``fisheye=True`` builds equidistant
+        FisheyeCamera rigs) — a starting point for
+        :meth:`calibrate_videos`."""
         C = len(names)
         K = np.tile(np.array([
             [float(img_size[0]), 0.0, img_size[0] / 2.0],
@@ -198,6 +204,7 @@ class CameraGroup:
             xi=np.zeros(C), D=np.zeros((C, 4)),
             rvec=np.zeros((C, 3)), tvec=np.zeros((C, 3)),
             size=(int(img_size[0]), int(img_size[1])),
+            model="fisheye" if fisheye else "omnidir",
         )
         return CameraGroup(rig)
 
@@ -215,10 +222,10 @@ class CameraGroup:
     def project(self, points: np.ndarray) -> np.ndarray:
         """(N, 3) -> (C, N, 2)."""
         import jax.numpy as jnp
-        from macaque_tpu.cameras.omnidir import omnidir_project
+        from macaque_tpu.cameras.dispatch import project_points
 
         return np.asarray(
-            omnidir_project(self.rig.omni(), jnp.asarray(
+            project_points(self.rig.camera(), jnp.asarray(
                 np.asarray(points).reshape(-1, 3)))
         )
 
@@ -226,16 +233,16 @@ class CameraGroup:
                     progress: bool = False) -> np.ndarray:
         """(C, N, 2) raw pixels -> (N, 3); NaN where <2 cameras."""
         import jax.numpy as jnp
-        from macaque_tpu.cameras.omnidir import omnidir_undistort
+        from macaque_tpu.cameras.dispatch import undistort_points
         from macaque_tpu.geometry.triangulate import triangulate_dlt
 
         points = np.asarray(points, float)
         one_point = points.ndim == 2
         if one_point:
             points = points.reshape(-1, 1, 2)
-        cam = self.rig.omni()
+        cam = self.rig.camera()
         p = jnp.asarray(points)
-        und = omnidir_undistort(cam, p) if undistort else p
+        und = undistort_points(cam, p) if undistort else p
         undT = jnp.swapaxes(und, 0, 1)
         mask = ~jnp.isnan(undT[..., 0])
         out = np.asarray(
@@ -249,7 +256,7 @@ class CameraGroup:
         from macaque_tpu.geometry.ransac import triangulate_ransac
 
         p3d, picked, p2d, errs = triangulate_ransac(
-            self.rig.omni(), jnp.asarray(np.asarray(points, float)),
+            self.rig.camera(), jnp.asarray(np.asarray(points, float)),
             min_cams=min_cams,
         )
         picked3 = np.asarray(picked)[:, :, None]  # (C, N, 1) like reference
@@ -268,7 +275,7 @@ class CameraGroup:
         if one_point:
             p3ds = p3ds.reshape(1, 3)
             p2ds = p2ds.reshape(-1, 1, 2)
-        cam = self.rig.omni()
+        cam = self.rig.camera()
         if mean:
             out = np.asarray(
                 reprojection_error_mean(cam, jnp.asarray(p3ds),
@@ -356,8 +363,12 @@ class CameraGroup:
         (reference cameras.py:894-946): triangulate with the current
         calibration, then run the full 16-parameter-per-camera bundle
         (JAX LM-CG, calib/bundle.py) and write the result back into the
-        group. Returns the post-optimization mean reprojection error."""
-        from macaque_tpu.calib.bundle import bundle_adjust_full
+        group. Fisheye rigs optimize the reference's FisheyeCamera
+        parameter set instead (rvec/tvec/f/k1, cameras.py:392-418).
+        Returns the post-optimization mean reprojection error."""
+        from macaque_tpu.calib.bundle import (
+            bundle_adjust_fisheye, bundle_adjust_full,
+        )
         from macaque_tpu.geometry.lm import LMConfig
 
         p2ds = np.asarray(p2ds, float)
@@ -366,15 +377,23 @@ class CameraGroup:
         if good.sum() < 8:
             return self.average_error(p2ds)
         rig = self.rig
-        K2, xi2, D2, rv, tv, _, rms = bundle_adjust_full(
-            np.asarray(rig.K, float), np.asarray(rig.xi, float),
-            np.asarray(rig.D, float), np.asarray(rig.rvec, float),
-            np.asarray(rig.tvec, float),
-            p2ds[:, good], np.nan_to_num(p3d[good]),
-            cfg=LMConfig(lm_iters=min(60, max(10, max_nfev // 10)),
-                         cg_iters=100, ftol=ftol),
-        )
-        rig.K, rig.xi, rig.D = K2, xi2, D2
+        cfg = LMConfig(lm_iters=min(60, max(10, max_nfev // 10)),
+                       cg_iters=100, ftol=ftol)
+        if rig.model == "fisheye":
+            K2, D2, rv, tv, _, rms = bundle_adjust_fisheye(
+                np.asarray(rig.K, float), np.asarray(rig.D, float),
+                np.asarray(rig.rvec, float), np.asarray(rig.tvec, float),
+                p2ds[:, good], np.nan_to_num(p3d[good]), cfg=cfg,
+            )
+            rig.K, rig.D = K2, D2
+        else:
+            K2, xi2, D2, rv, tv, _, rms = bundle_adjust_full(
+                np.asarray(rig.K, float), np.asarray(rig.xi, float),
+                np.asarray(rig.D, float), np.asarray(rig.rvec, float),
+                np.asarray(rig.tvec, float),
+                p2ds[:, good], np.nan_to_num(p3d[good]), cfg=cfg,
+            )
+            rig.K, rig.xi, rig.D = K2, xi2, D2
         rig.rvec, rig.tvec = rv, tv
         if verbose:
             print(f"bundle_adjust: rms {rms:.3f} px")
@@ -457,7 +476,7 @@ class CameraGroup:
             reproj_loss=reproj_loss, n_deriv_smooth=n_deriv_smooth,
         )
         p3, jl = refine_points_3d(
-            self.rig.omni(), jnp.asarray(np.asarray(points, float)),
+            self.rig.camera(), jnp.asarray(np.asarray(points, float)),
             jnp.asarray(np.asarray(p3ds, float)),
             constraints=list(constraints),
             constraints_weak=list(constraints_weak), cfg=cfg,
@@ -480,7 +499,7 @@ class CameraGroup:
             n_deriv_smooth=kwargs.get("n_deriv_smooth", 1),
         )
         p3, jl = refine_points_3d(
-            self.rig.omni(), jnp.asarray(np.asarray(points, float)),
+            self.rig.camera(), jnp.asarray(np.asarray(points, float)),
             jnp.asarray(np.asarray(p3ds, float)),
             constraints=list(kwargs.get("constraints", ())),
             constraints_weak=list(kwargs.get("constraints_weak", ())),
@@ -499,7 +518,9 @@ class CameraGroup:
         Returns the final reprojection rms in px."""
         import cv2
 
-        from macaque_tpu.calib.bundle import bundle_adjust_full
+        from macaque_tpu.calib.bundle import (
+            bundle_adjust_fisheye, bundle_adjust_full,
+        )
         from macaque_tpu.calib.graph_init import (
             initial_extrinsics_from_board_poses,
         )
@@ -513,6 +534,7 @@ class CameraGroup:
         size = rig.size or (2048, 1536)
 
         K = np.array(rig.K, float)
+        D = np.array(rig.D, float)
         if init_intrinsics:
             objp_full = board.object_points()
             for i, rows in enumerate(all_rows):
@@ -530,8 +552,61 @@ class CameraGroup:
                         f"camera {names[i]}: no usable board views")
                 K[i] = cv2.initCameraMatrix2D(obj_v, img_v, tuple(size))
 
-        for i, rows in enumerate(all_rows):
-            estimate_pose_rows(rows, board, K[i], np.zeros(5))
+        def fisheye_pose_rows():
+            # PnP on equidistant pixels with a pinhole model is biased
+            # (r = f*theta, not f*tan(theta)); normalize through the
+            # fisheye model and solve with eye(3). (The vendored
+            # reference feeds the 4 equidistant coefficients straight
+            # into cv2.solvePnPRansac as if pinhole, boards.py:494-516
+            # — same intent, ours is the unbiased formulation.)
+            import jax.numpy as jnp
+
+            from macaque_tpu.cameras.fisheye import FisheyeCamera
+
+            for i, rows in enumerate(all_rows):
+                cam_i = FisheyeCamera(
+                    K=jnp.asarray(K[i]), D=jnp.asarray(D[i]),
+                    rvec=jnp.zeros(3), tvec=jnp.zeros(3))
+                estimate_pose_rows(rows, board, K[i], np.zeros(5),
+                                   camera=cam_i)
+
+        if rig.model == "fisheye":
+            fisheye_pose_rows()
+        else:
+            for i, rows in enumerate(all_rows):
+                estimate_pose_rows(rows, board, K[i], np.zeros(5))
+
+        if rig.model == "fisheye" and init_intrinsics:
+            # Per-camera intrinsic fit (the cv2.fisheye.calibrate role):
+            # the pinhole initCameraMatrix2D seed is systematically
+            # biased on equidistant images and the group bundle cannot
+            # recover the focal from it (focal<->depth gauge valley);
+            # the multi-view planar fit makes f identifiable. Then redo
+            # the board poses with the calibrated model.
+            from macaque_tpu.calib.bundle import (
+                calibrate_intrinsics_fisheye,
+            )
+
+            objp_full = board.object_points()
+            for i, rows in enumerate(all_rows):
+                posed = [r for r in rows if r.get("rvec") is not None]
+                if len(posed) < 3:
+                    continue
+                imgp_v = np.stack([
+                    np.asarray(r["filled"], float).reshape(-1, 2)
+                    for r in posed])
+                objp_v = np.tile(objp_full[None], (len(posed), 1, 1))
+                rv0 = np.stack([np.asarray(r["rvec"], float).ravel()
+                                for r in posed])
+                tv0 = np.stack([np.asarray(r["tvec"], float).ravel()
+                                for r in posed])
+                K_i, D_i, _, _, _ = calibrate_intrinsics_fisheye(
+                    objp_v, imgp_v, init_f=K[i][0, 0],
+                    init_c=(K[i][0, 2], K[i][1, 2]), img_size=size,
+                    init_rvecs=rv0, init_tvecs=tv0)
+                K[i] = K_i
+                D[i] = D_i
+            fisheye_pose_rows()
 
         merged = merge_rows(all_rows, cam_names=names)
         imgp, extra = extract_points(merged, board, cam_names=names,
@@ -556,25 +631,32 @@ class CameraGroup:
             tvecs = np.array(rig.tvec, float)
 
         xi = np.array(rig.xi, float)
-        D = np.array(rig.D, float)
 
         # structure init: DLT-triangulate the shared points with the
         # initial calibration
         init_rig = CameraRig(camera_ids=names, K=K, xi=xi, D=D,
-                             rvec=rvecs, tvec=tvecs, size=size)
+                             rvec=rvecs, tvec=tvecs, size=size,
+                             model=rig.model)
         p3d0 = CameraGroup(init_rig).triangulate(imgp)
         seen = np.isfinite(p3d0[:, 0])
         obs = imgp[:, seen]
-        K2, xi2, D2, rv, tv, _, rms = bundle_adjust_full(
-            K, xi, D, rvecs, tvecs, obs, np.nan_to_num(p3d0[seen]),
-            **kwargs)
+        if rig.model == "fisheye":
+            K2, D2, rv, tv, _, rms = bundle_adjust_fisheye(
+                K, D, rvecs, tvecs, obs, np.nan_to_num(p3d0[seen]),
+                **kwargs)
+            xi2 = xi
+        else:
+            K2, xi2, D2, rv, tv, _, rms = bundle_adjust_full(
+                K, xi, D, rvecs, tvecs, obs, np.nan_to_num(p3d0[seen]),
+                **kwargs)
         if verbose:
             print(f"calibrate_rows: bundle rms {rms:.3f} px")
 
         self.rig = CameraRig(camera_ids=names, K=K2, xi=xi2, D=D2,
                              rvec=rv, tvec=tv, mtx=rig.mtx,
                              dist=rig.dist, size=size,
-                             metadata=dict(rig.metadata))
+                             metadata=dict(rig.metadata),
+                             model=rig.model)
         return rms
 
     def calibrate_videos(self, videos, board, init_intrinsics=True,
@@ -624,7 +706,7 @@ class CameraGroup:
             reproj_loss=reproj_loss, n_deriv_smooth=n_deriv_smooth,
         )
         p3, alphas = refine_points_3d_possible(
-            self.rig.omni(), jnp.asarray(np.asarray(points, float)),
+            self.rig.camera(), jnp.asarray(np.asarray(points, float)),
             jnp.asarray(np.asarray(p3ds, float)),
             constraints=list(constraints),
             constraints_weak=list(constraints_weak), cfg=cfg,

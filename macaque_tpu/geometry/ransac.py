@@ -57,15 +57,9 @@ def triangulate_ransac(
     Reference parity: src/third_party/aniposelib/cameras.py:639-743 with
     n_possible = 1.
     """
-    from macaque_tpu.cameras.omnidir import OmnidirCamera, omnidir_project, omnidir_undistort
-    from macaque_tpu.cameras.pinhole import PinholeCamera, pinhole_project, pinhole_undistort
+    from macaque_tpu.cameras.dispatch import project_fn, undistort_fn
 
-    if isinstance(cam, OmnidirCamera):
-        project, undistort = omnidir_project, omnidir_undistort
-    elif isinstance(cam, PinholeCamera):
-        project, undistort = pinhole_project, pinhole_undistort
-    else:
-        raise TypeError(type(cam))
+    project, undistort = project_fn(cam), undistort_fn(cam)
 
     n_cams = points.shape[0]
     masks = jnp.asarray(_subset_masks(n_cams, max_drop))  # (S, C)

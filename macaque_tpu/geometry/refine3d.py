@@ -83,18 +83,11 @@ def _residuals(
     cfg: RefineConfig,
     scores: Optional[jnp.ndarray] = None,
 ):
-    from macaque_tpu.cameras.omnidir import OmnidirCamera, omnidir_project
-    from macaque_tpu.cameras.pinhole import PinholeCamera, pinhole_project
+    from macaque_tpu.cameras.dispatch import project_points
 
     C, F, J, _ = p2ds.shape
     flat3d = p3ds.reshape(-1, 3)
-    if isinstance(cam, OmnidirCamera):
-        proj = omnidir_project(cam, flat3d)
-    elif isinstance(cam, PinholeCamera):
-        proj = pinhole_project(cam, flat3d)
-    else:
-        raise TypeError(type(cam))
-    proj = proj.reshape(C, F, J, 2)
+    proj = project_points(cam, flat3d).reshape(C, F, J, 2)
     err = jnp.where(valid, jnp.nan_to_num(p2ds) - proj, 0.0)
     if scores is not None:
         err = err * scores[..., None]

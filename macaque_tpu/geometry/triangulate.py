@@ -105,16 +105,9 @@ def reprojection_error(cam, p3d: jnp.ndarray, p2d: jnp.ndarray) -> jnp.ndarray:
     Returns (C, N, 2) residuals ``observed - projected``
     (reference: cameras.py:325-327, 746-783).
     """
-    from macaque_tpu.cameras.omnidir import OmnidirCamera, omnidir_project
-    from macaque_tpu.cameras.pinhole import PinholeCamera, pinhole_project
+    from macaque_tpu.cameras.dispatch import project_points
 
-    if isinstance(cam, OmnidirCamera):
-        proj = omnidir_project(cam, p3d)
-    elif isinstance(cam, PinholeCamera):
-        proj = pinhole_project(cam, p3d)
-    else:
-        raise TypeError(type(cam))
-    return p2d - proj
+    return p2d - project_points(cam, p3d)
 
 
 def reprojection_error_mean(cam, p3d: jnp.ndarray, p2d: jnp.ndarray) -> jnp.ndarray:

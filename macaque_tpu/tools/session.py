@@ -573,9 +573,6 @@ def process_session_calibrate(config: dict, session_path: str):
     else:
         if len(videos) == 0:
             return None
-        if config["calibration"]["fisheye"]:
-            raise ValueError("fisheye calibration is not supported by "
-                             "the omnidir compute path")
         import cv2
 
         sizes = []
@@ -584,7 +581,11 @@ def process_session_calibrate(config: dict, session_path: str):
             sizes.append((int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
                           int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))))
             cap.release()
-        cgroup = CameraGroup.from_names(cam_names, img_size=sizes[0])
+        # fisheye=true selects equidistant FisheyeCamera rigs, exactly
+        # like the reference (anipose calibrate.py:181)
+        cgroup = CameraGroup.from_names(
+            cam_names, fisheye=bool(config["calibration"]["fisheye"]),
+            img_size=sizes[0])
 
     board = get_calibration_board(config)
     if not skip_calib:

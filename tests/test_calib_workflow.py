@@ -621,6 +621,85 @@ def test_camera_group_calibrate_rows():
     assert abs(group.rig.K[0, 0, 0] - 600) / 600 < 0.05
 
 
+def test_camera_group_calibrate_rows_fisheye():
+    """calibrate_rows on a fisheye group (reference: anipose
+    ``calibration.fisheye = true`` -> CameraGroup.from_names(fisheye=True)
+    -> the same generic calibrate path, calibrate.py:181 +
+    cameras.py:1891-1926). Board pixels are generated with the JAX
+    equidistant model, whose cv2.fisheye parity is pinned by
+    tests/test_golden_fisheye.py."""
+    import jax.numpy as jnp
+
+    from macaque_tpu.calib.graph_init import get_rtvec, make_M
+    from macaque_tpu.cameras.fisheye import FisheyeCamera, fisheye_project
+    from macaque_tpu.compat.aniposelib import CameraGroup
+
+    board = Checkerboard(9, 6, 23.0)
+    obj = board.object_points()
+    rng = np.random.default_rng(11)
+
+    n_cam = 3
+    D_GT = np.array([-0.015, 0.006, 0.0, 0.0])
+    cam_M = []
+    for i in range(n_cam):
+        rv = rng.normal(0, 0.04, 3)
+        tv = np.array([-150.0 + 150.0 * i + rng.normal(0, 5),
+                       rng.normal(0, 10), rng.normal(0, 10)])
+        cam_M.append(make_M(rv, tv))
+
+    views = []
+    for v in range(10):
+        rv = np.array([np.pi, 0, 0]) + rng.uniform(-0.4, 0.4, 3)
+        tv = np.array([rng.uniform(-80, 80), rng.uniform(-60, 60),
+                       rng.uniform(500, 900)])
+        views.append(make_M(rv, tv))
+
+    all_rows = []
+    for i in range(n_cam):
+        rows = []
+        for v, M_board in enumerate(views):
+            rvec, tvec = get_rtvec(cam_M[i] @ M_board)
+            cam = FisheyeCamera(K=jnp.asarray(K_GT), D=jnp.asarray(D_GT),
+                                rvec=jnp.asarray(rvec),
+                                tvec=jnp.asarray(tvec))
+            proj = np.array(fisheye_project(cam, jnp.asarray(obj)))
+            pix = proj.reshape(-1, 2) + rng.normal(0, 0.05, (54, 2))
+            rows.append({"framenum": v, "corners": pix, "ids": None,
+                         "filled": pix.copy()})
+        all_rows.append(rows)
+
+    group = CameraGroup.from_names(["a", "b", "c"], fisheye=True,
+                                   img_size=(IMG_W, IMG_H))
+    assert group.rig.model == "fisheye"
+    # the GT has a real k2 term, so opt in to the reference's
+    # ``extra_dist`` second coefficient (FisheyeCamera.__init__,
+    # cameras.py:347-354; default is f+k1 only)
+    rms = group.calibrate_rows(all_rows, board, verbose=False,
+                               extra_dist=True)
+    assert rms < 0.3, rms
+    assert group.rig.model == "fisheye"
+
+    gt_pos = np.stack([
+        wf.camera_position(*get_rtvec(cam_M[i])) for i in range(n_cam)])
+    got_pos = np.stack([
+        wf.camera_position(group.rig.rvec[i], group.rig.tvec[i])
+        for i in range(n_cam)])
+    gt_rel = gt_pos - gt_pos[0]
+    got_rel = got_pos - got_pos[0]
+    M0 = cam_M[0]
+    gt_rel = (M0[:3, :3] @ gt_rel.T).T
+    scale = np.linalg.norm(gt_rel[1]) / max(np.linalg.norm(got_rel[1]),
+                                            1e-9)
+    assert abs(scale - 1) < 0.05, scale
+    err = np.linalg.norm(got_rel * scale - gt_rel, axis=1)
+    assert err.max() < 10.0, err
+
+    # the fisheye BA parameterization holds fx=fy=f (reference
+    # FisheyeCamera.set_params, cameras.py:392-403)
+    assert abs(group.rig.K[0, 0, 0] - group.rig.K[0, 1, 1]) < 1e-9
+    assert abs(group.rig.K[0, 0, 0] - 600) / 600 < 0.05
+
+
 # --------------------------------------------------------------------------
 # anipose project-level calibrate driver (reference calibrate.py)
 # --------------------------------------------------------------------------

@@ -249,8 +249,9 @@ def test_golden_pinhole(tmp_path):
 
 
 def test_pinhole_k3_warns_fisheye_rejected(tmp_path):
-    """Distortion terms beyond (k1,k2,p1,p2) warn; fisheye (equidistant)
-    calibrations are rejected with a clear error."""
+    """Distortion terms beyond (k1,k2,p1,p2) warn; fisheye sections load
+    as the equidistant model (cameras/fisheye.py); mixing fisheye with
+    omnidir sections in one rig is rejected with a clear error."""
     import os
     import warnings
 
@@ -276,5 +277,17 @@ def test_pinhole_k3_warns_fisheye_rejected(tmp_path):
     with open(p2, "w") as fh:
         fh.write(dumps_toml({"cam_0": dict(
             base, distortions=[0.1, 0.0, 0.0, 0.0], fisheye=True)}))
-    with pytest.raises(ValueError, match="fisheye"):
-        CameraRig.from_calibration_toml(p2)
+    rig = CameraRig.from_calibration_toml(p2)
+    assert rig.model == "fisheye"
+    np.testing.assert_allclose(rig.D[0], [0.1, 0.0, 0.0, 0.0])
+
+    p3 = os.path.join(str(tmp_path), "mixed.toml")
+    with open(p3, "w") as fh:
+        fh.write(dumps_toml({
+            "cam_0": dict(base, distortions=[0.1, 0.0, 0.0, 0.0],
+                          fisheye=True),
+            "cam_1": dict(base, name="c1",
+                          distortions=[0.0, 0.0, 0.0, 0.0]),
+        }))
+    with pytest.raises(ValueError, match="mixed camera models"):
+        CameraRig.from_calibration_toml(p3)
