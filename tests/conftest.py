@@ -15,3 +15,15 @@ import jax  # noqa: E402
 # The axon TPU plugin ignores the JAX_PLATFORMS env var; force via config.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: on the 1-core CI host jit compiles
+# dominate the suite's wall clock; a warmed cache cuts the quick tier
+# severalfold across runs (cache key includes backend/flags, so the
+# 8-virtual-device CPU programs here never collide with TPU entries).
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_CACHE_DIR", "/tmp/macaque_tpu_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+except Exception:  # pragma: no cover - older jax
+    pass
