@@ -347,7 +347,7 @@ def main():
         try:
             out = subprocess.run(
                 [sys.executable, "-m", "macaque_tpu.tools.pipeline_bench"],
-                capture_output=True, text=True, timeout=1800, check=True,
+                capture_output=True, text=True, timeout=2700, check=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
             )
             pipe = json.loads(out.stdout.strip().splitlines()[-1])
@@ -385,15 +385,28 @@ def main():
                 rt = pipe.get("device_round_trip_s")
                 local_device = rt is not None and rt < 0.005
                 if local_device:
-                    cf_per_s = pipe["e2e_measured_cf_s"]
-                    headline = ("measured e2e (serving-preset step1, "
-                                "locally-attached device)")
+                    if "e2e_parity_cf_s" in pipe:
+                        # parity semantics measured end-to-end — the
+                        # honest headline on a local device
+                        cf_per_s = pipe["e2e_parity_cf_s"]
+                        headline = ("measured PARITY e2e (exact-mmdet "
+                                    "step1, locally-attached device)")
+                    else:
+                        cf_per_s = pipe["e2e_measured_cf_s"]
+                        headline = ("measured e2e (serving-preset step1, "
+                                    "locally-attached device)")
                 log(f"measured e2e (serving preset, decode-ahead): "
                     f"step1 {pipe['step1_real_s']:.1f}s -> "
                     f"{pipe['e2e_measured_cf_s']:.1f} cf/s"
                     + ("" if local_device else
                        f" [tunnel-dominated ({rt}s/round-trip); "
                        f"headline keeps the additive model]"))
+                if "e2e_parity_cf_s" in pipe:
+                    log(f"measured e2e (parity tier, exact-mmdet step1): "
+                        f"step1 {pipe['step1_parity_s']:.1f}s -> "
+                        f"{pipe['e2e_parity_cf_s']:.1f} cf/s"
+                        + ("" if local_device else
+                           " [tunnel-dominated; see additive model]"))
             if "e2e_fast_cf_s" in pipe:
                 # reported in detail only — the headline value keeps
                 # the serving tier's reference-parity semantics

@@ -70,7 +70,12 @@ def run_pipeline(
             # (run_demo.py:37-39)
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=min(4, len(cams))) as ex:
+            import os as _os
+
+            # 1 worker per core: render threads are host-bound (decode +
+            # draw + encode); oversubscribing a small VM slows them down
+            with ThreadPoolExecutor(max_workers=max(1, min(
+                    4, len(cams), _os.cpu_count() or 1))) as ex:
                 list(ex.map(
                     lambda i_cam: render_overlay(
                         config.data_name, i_cam, result_dir,

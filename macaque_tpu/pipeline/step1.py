@@ -74,6 +74,7 @@ def process_camera(
     chunk: int = 32,
     redo: bool = False,
     use_device_tracker: bool = False,
+    prefetch: bool | None = None,
 ) -> None:
     if stage_done(os.path.join(out_dir, "alldata.json"),
                   os.path.join(out_dir, "frame_num.npy")) and not redo:
@@ -109,7 +110,11 @@ def process_camera(
     # N+1 while chunk N waits on the device programs, hiding the video
     # decode (the dominant host cost, ~2.1 s/480 cf measured) under
     # device time. All store reads happen on the prefetch thread, so the
-    # reader sees strictly sequential access.
+    # reader sees strictly sequential access. Adaptive: on a single-core
+    # host there is no parallelism to win — the extra thread only adds
+    # GIL/timeslice contention (measured 2.2 -> 5.4 s/480 cf on a 1-cpu
+    # VM, the BENCH_r03 step1 regression) — so default to synchronous
+    # decode there; ``prefetch`` forces it either way.
     from concurrent.futures import ThreadPoolExecutor
 
     chunks = [uniq_rows[c0 : c0 + chunk]
@@ -119,17 +124,38 @@ def process_camera(
         return np.stack([store.get_image(frame_index=int(r))[0]
                          for r in rows_c])
 
-    prefetch = ThreadPoolExecutor(max_workers=1)
-    fut = prefetch.submit(_decode, chunks[0]) if chunks else None
+    if prefetch is None:
+        prefetch = (os.cpu_count() or 1) > 1
+    pool = ThreadPoolExecutor(max_workers=1) if prefetch else None
+
+    fut = pool.submit(_decode, chunks[0]) if (pool and chunks) else None
+
+    # sub-stage wall-clock attribution (printed in the camera summary;
+    # with prefetch on, 'decode' is only the non-overlapped wait)
+    import time as _time
+
+    tt = {"decode": 0.0, "detect": 0.0, "track": 0.0, "pose+id": 0.0,
+          "assemble": 0.0}
+
+    def _tick():
+        return _time.perf_counter()
 
     for ci, rows_c in enumerate(chunks):
-        frames = fut.result()
-        fut = (prefetch.submit(_decode, chunks[ci + 1])
-               if ci + 1 < len(chunks) else None)
+        t0 = _tick()
+        if pool:
+            frames = fut.result()
+            fut = (pool.submit(_decode, chunks[ci + 1])
+                   if ci + 1 < len(chunks) else None)
+        else:
+            frames = _decode(rows_c)
+        tt["decode"] += _tick() - t0
 
+        t0 = _tick()
         boxes_all, scores_all = perception.detect(frames)  # (B, D, 4/…)
+        tt["detect"] += _tick() - t0
 
         # threshold + track per frame, build fixed box tables
+        t0 = _tick()
         pose_boxes = np.zeros((len(rows_c), D, 4), np.float32)
         id_boxes = np.zeros((len(rows_c), D, 4), np.float32)
         valid = np.zeros((len(rows_c), D), bool)
@@ -203,10 +229,15 @@ def process_camera(
                 valid[bi, :n] = True
                 tids_tbl[bi, :n] = [t for _, t in ok]
 
+        tt["track"] += _tick() - t0
+
+        t0 = _tick()
         kps = perception.pose(frames, pose_boxes, valid)        # (B, D, J, 3)
         labels, lscores = perception.classify(frames, id_boxes, valid)
+        tt["pose+id"] += _tick() - t0
 
         # host: per-joint threshold + EMA + row assembly
+        t0 = _tick()
         for bi, r in enumerate(rows_c):
             frame_json = []
             for k in range(D):
@@ -228,8 +259,10 @@ def process_camera(
                     assigned, lsc,
                 ])
             per_row_result[int(r)] = frame_json
+        tt["assemble"] += _tick() - t0
 
-    prefetch.shutdown(wait=False)
+    if pool:
+        pool.shutdown(wait=False)
 
     # expand unique-row results back onto the time grid, then keep rows
     # whose frame number exists in the store (reference step1:364-375)
@@ -242,10 +275,12 @@ def process_camera(
             clean_res.append(res)
             clean_fnums.append(fn)
     write_alldata(out_dir, clean_res, np.asarray(clean_fnums))
+    timing = " ".join(f"{k}={v:.2f}s" for k, v in tt.items())
     print(
         f"[step1] wrote {len(clean_res)} frames -> {out_dir} "
         f"({missed_detections} frames without detections, "
-        f"{missed_tracks} with detections but no tracks)"
+        f"{missed_tracks} with detections but no tracks) "
+        f"[prefetch={'on' if pool else 'off'} {timing}]"
     )
 
 
@@ -261,6 +296,7 @@ def run_step1(
     redo: bool = False,
     use_device_tracker: bool = False,
     parallel_cameras: int = 1,
+    prefetch: bool | None = None,
 ) -> list[str]:
     """All cameras for a recording (reference step1_proc2d_custom:389-447).
     Per-camera state (tracker, EMA) is fresh per camera.
@@ -291,7 +327,8 @@ def run_step1(
         backend = perception(cam) if callable(perception) else perception
         out_dir = os.path.join(results_root, data_name, cam)
         process_camera(store, out_dir, T, backend, cfg, chunk, redo,
-                       use_device_tracker=use_device_tracker)
+                       use_device_tracker=use_device_tracker,
+                       prefetch=prefetch)
         return out_dir
 
     n_workers = max(1, min(parallel_cameras, len(stores)))

@@ -25,15 +25,17 @@ import tempfile
 import time
 
 
-def _build_random_fullsize_perception(fast: bool = False):
-    """Full-size serving-preset FlaxPerception with RANDOM weights —
-    identical compute/time to converted weights (values don't change
-    schedules), so it measures real step-1 device cost + decode overlap
-    without shipping checkpoints. Detections are garbage; the fixed-
-    capacity chunk programs run the same either way.
+def _build_random_fullsize_perception(tier: str = "serving"):
+    """Full-size FlaxPerception with RANDOM weights — identical
+    compute/time to converted weights (values don't change schedules),
+    so it measures real step-1 device cost + decode overlap without
+    shipping checkpoints. Detections are garbage; the fixed-capacity
+    chunk programs run the same either way.
 
-    ``fast=True`` builds the MACAQUE_TPU_FAST tier instead (640-target
-    detector input, single-pass pose — ARCHITECTURE.md "Roofline")."""
+    Tiers (ARCHITECTURE.md §3b): ``parity`` = exact-mmdet detector
+    budgets + bf16 flip-test pose (reference semantics), ``serving`` =
+    512/128 detector budgets + int8 pose, ``fast`` = 640-target
+    detector input + single-pass int8 pose."""
     import jax
     import jax.numpy as jnp
 
@@ -45,13 +47,15 @@ def _build_random_fullsize_perception(fast: bool = False):
     from macaque_tpu.pipeline.perception import FlaxPerception
 
     dtype = jnp.bfloat16
-    det = SwinMaskRCNN(DetectorConfig.serving(
+    det_cfg_cls = (DetectorConfig if tier == "parity"
+                   else DetectorConfig.serving)
+    det = SwinMaskRCNN(det_cfg_cls(
         swin=SwinConfig(compute_dtype=dtype), compute_dtype=dtype))
     # int8 serving pose: Int8Dense params init directly in quantized
     # layout (zeros — timing-identical to converted weights)
-    pose_cfg = VitPoseConfig(compute_dtype=dtype,
-                             use_pallas_attention=True,
-                             quantize="int8")
+    pose_cfg = VitPoseConfig(
+        compute_dtype=dtype, use_pallas_attention=True,
+        quantize=None if tier == "parity" else "int8")
     pose = ViTPose(pose_cfg)
     idm = ResNetClassifier(ResNetConfig(compute_dtype=dtype))
 
@@ -61,8 +65,8 @@ def _build_random_fullsize_perception(fast: bool = False):
         rng, jnp.zeros((1, *pose_cfg.img_size, 3)))
     id_vars = jax.jit(idm.init)(rng, jnp.zeros((1, 224, 224, 3)))
     return FlaxPerception(det, det_vars, pose, pose_vars, idm, id_vars,
-                          max_det=4, flip_test=not fast,
-                          det_target=640 if fast else 800)
+                          max_det=4, flip_test=tier != "fast",
+                          det_target=640 if tier == "fast" else 800)
 
 
 def run(n_frame: int = 120, n_cam: int = 4, render: bool = True,
@@ -109,7 +113,8 @@ def run(n_frame: int = 120, n_cam: int = 4, render: bool = True,
             # all cameras, threaded like the production runner
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=min(4, n_cam)) as ex:
+            with ThreadPoolExecutor(max_workers=max(1, min(
+                    4, n_cam, os.cpu_count() or 1))) as ex:
                 list(ex.map(
                     lambda i: render_overlay("synth", i, rd, raw, rig),
                     range(n_cam),
@@ -127,6 +132,7 @@ def run(n_frame: int = 120, n_cam: int = 4, render: bool = True,
     # wall clock ~= max(decode, device) + assembly, not their sum.
     step1_real_s = None
     step1_fast_s = None
+    step1_parity_s = None
     if os.environ.get("BENCH_STEP1_REAL", "1") == "1":
         import jax
 
@@ -154,11 +160,19 @@ def run(n_frame: int = 120, n_cam: int = 4, render: bool = True,
             step1_real_s = _timed_step1(
                 _build_random_fullsize_perception, "real")
             if (step1_real_s is not None
+                    and os.environ.get("BENCH_STEP1_PARITY", "1") == "1"):
+                # parity tier: exact-mmdet detector + bf16 flip-test
+                # pose in the overlapped step1 path — the measured
+                # (non-additive) counterpart of the headline number
+                step1_parity_s = _timed_step1(
+                    lambda: _build_random_fullsize_perception("parity"),
+                    "parity")
+            if (step1_real_s is not None
                     and os.environ.get("BENCH_STEP1_FAST", "1") == "1"):
                 # MACAQUE_TPU_FAST tier: 640-target detector +
                 # single-pass int8 pose (ARCHITECTURE.md "Roofline")
                 step1_fast_s = _timed_step1(
-                    lambda: _build_random_fullsize_perception(fast=True),
+                    lambda: _build_random_fullsize_perception("fast"),
                     "fast")
 
     # context for the stage timings: each host<->device round trip costs
@@ -193,6 +207,13 @@ def run(n_frame: int = 120, n_cam: int = 4, render: bool = True,
         out["e2e_measured_s"] = round(step1_real_s + rest, 3)
         out["e2e_measured_cf_s"] = round(
             n_cf / (step1_real_s + rest), 2)
+        if step1_parity_s is not None:
+            # measured PARITY e2e: exact-mmdet detector + bf16 flip-test
+            # pose in the same overlapped step1 path — the non-additive
+            # counterpart of the headline tier (VERDICT r03 item 7)
+            out["step1_parity_s"] = round(step1_parity_s, 3)
+            out["e2e_parity_cf_s"] = round(
+                n_cf / (step1_parity_s + rest), 2)
         if step1_fast_s is not None:
             out["step1_fast_s"] = round(step1_fast_s, 3)
             out["e2e_fast_cf_s"] = round(

@@ -115,9 +115,14 @@ def decode_index(img: np.ndarray) -> int:
 
 def render_stores(
     root: str, data_name: str, rig: CameraRig, proj: np.ndarray,
-    fps: float = 24.0,
+    fps: float = 24.0, fourcc: str = "FFV1", chunksize: int = 10000,
 ):
-    """Write one imgstore per camera with body blobs + frame-index code."""
+    """Write one imgstore per camera with body blobs + frame-index code.
+
+    ``fourcc``/``chunksize`` select the store flavor: the FFV1 default
+    is the lossless test fixture; ``fourcc='mp4v', chunksize=<T`` makes
+    multi-chunk VideoImgStoreFFMPEG-layout stores like the reference's
+    production recordings (videos/example.22972495/metadata.yaml)."""
     import os
 
     from macaque_tpu.video.imgstore import write_imgstore
@@ -145,7 +150,7 @@ def render_stores(
             encode_index(img, t)
         write_imgstore(
             os.path.join(root, f"{data_name}.{rig.camera_ids[c]}"),
-            frames, fps=fps, fourcc="FFV1",
+            frames, fps=fps, fourcc=fourcc, chunksize=chunksize,
         )
 
 

@@ -157,13 +157,20 @@ def write_imgstore(
     if frame_times is None:
         frame_times = frame_numbers / fps
 
+    # mp4 chunk stores carry the reference's production layout
+    # (class VideoImgStoreFFMPEG, chunked NNNNNN.mp4 + NNNNNN.npz index;
+    # reference videos/example.22972495/metadata.yaml:1-13); lossless
+    # avi test fixtures keep the plain VideoImgStore class.
+    store_class = "VideoImgStoreFFMPEG" if ext == ".mp4" else "VideoImgStore"
     meta = {
         "__store": {
-            "class": "VideoImgStore",
+            "class": store_class,
             "imgshape": [H, W, 3],
             "imgdtype": "uint8",
             "chunksize": int(chunksize),
-            "format": "mp4/mp4v",
+            "format": f"{ext[1:]}/{fourcc}",
+            "encoding": None,
+            "version": 2,
             "framerate": float(fps),
         }
     }
