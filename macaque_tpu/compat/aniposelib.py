@@ -469,11 +469,17 @@ class CameraGroup:
             refine_points_3d, RefineConfig,
         )
 
+        # parity-grade budget: this facade is the golden-pinned
+        # aniposelib surface (tests/test_golden_aniposelib.py compares
+        # against the reference's own TRF solver), so it keeps the
+        # converge-to-reference budget; the production pipeline default
+        # (RefineConfig) uses the measured convergence budget instead.
         cfg = RefineConfig(
             scale_smooth=scale_smooth, scale_length=scale_length,
             scale_length_weak=scale_length_weak,
             reproj_error_threshold=reproj_error_threshold,
             reproj_loss=reproj_loss, n_deriv_smooth=n_deriv_smooth,
+            lm_iters=100, cg_iters=300, cg_rtol=1e-4,
         )
         p3, jl = refine_points_3d(
             self.rig.camera(), jnp.asarray(np.asarray(points, float)),
@@ -497,6 +503,7 @@ class CameraGroup:
             reproj_error_threshold=kwargs.get("reproj_error_threshold", 15),
             reproj_loss=kwargs.get("reproj_loss", "soft_l1"),
             n_deriv_smooth=kwargs.get("n_deriv_smooth", 1),
+            lm_iters=100, cg_iters=300, cg_rtol=1e-4,  # parity budget
         )
         p3, jl = refine_points_3d(
             self.rig.camera(), jnp.asarray(np.asarray(points, float)),
@@ -704,6 +711,7 @@ class CameraGroup:
             scale_length_weak=scale_length_weak,
             reproj_error_threshold=reproj_error_threshold,
             reproj_loss=reproj_loss, n_deriv_smooth=n_deriv_smooth,
+            lm_iters=100, cg_iters=300, cg_rtol=1e-4,  # parity budget
         )
         p3, alphas = refine_points_3d_possible(
             self.rig.camera(), jnp.asarray(np.asarray(points, float)),

@@ -64,8 +64,13 @@ class LMConfig(NamedTuple):
     diag_probes: int = 8
 
 
-def lm_solve(resid_fn: Callable, x0: jnp.ndarray, cfg: LMConfig = LMConfig()):
-    """Minimize ``0.5 * |resid_fn(x)|^2`` from ``x0``. Returns x.
+def lm_solve(resid_fn: Callable, x0: jnp.ndarray, cfg: LMConfig = LMConfig(),
+             return_info: bool = False):
+    """Minimize ``0.5 * |resid_fn(x)|^2`` from ``x0``. Returns x, or
+    ``(x, info)`` with ``return_info`` — info carries ``lm_iters`` /
+    ``cg_iters`` actually executed, initial/final cost, and whether the
+    ftol early exit fired (the budget-tuning diagnostic: production
+    iteration caps are set from these counters, not guessed).
 
     The whole solve traces under float32 matmul precision: CGLS
     directions come from ``vdot``s and jvp/vjp products whose default
@@ -73,7 +78,8 @@ def lm_solve(resid_fn: Callable, x0: jnp.ndarray, cfg: LMConfig = LMConfig()):
     error on a clean synthetic scene from this alone).
     """
     with jax.default_matmul_precision("float32"):
-        return _lm_solve_impl(resid_fn, x0, cfg)
+        x, info = _lm_solve_impl(resid_fn, x0, cfg)
+    return (x, info) if return_info else x
 
 
 def _lm_solve_impl(resid_fn: Callable, x0: jnp.ndarray, cfg: LMConfig):
@@ -93,16 +99,22 @@ def _lm_solve_impl(resid_fn: Callable, x0: jnp.ndarray, cfg: LMConfig):
 
         def body(state):
             y, u, s, dd, gamma, k = state
+            # lane freeze (same reason as lm_step's): under vmap the
+            # loop runs until every lane's cond fails, so a converged
+            # lane must keep its iterate verbatim or its result depends
+            # on sibling lanes' trip counts
+            active = gamma > stop2
             q = j_vec(dinv * dd)
             alpha = gamma / jnp.maximum(
                 jnp.vdot(q, q) + lam * jnp.vdot(dd, dd), 1e-30)
-            y2 = y + alpha * dd
-            u2 = u - alpha * q
-            s2 = dinv * jt_vec(u2) - lam * y2
-            gamma2 = jnp.vdot(s2, s2)
+            y2 = jnp.where(active, y + alpha * dd, y)
+            u2 = jnp.where(active, u - alpha * q, u)
+            s2 = jnp.where(active, dinv * jt_vec(u2) - lam * y2, s)
+            gamma2 = jnp.where(active, jnp.vdot(s2, s2), gamma)
             beta = gamma2 / jnp.maximum(gamma, 1e-30)
-            dd2 = s2 + beta * dd
-            return (y2, u2, s2, dd2, gamma2, k + 1)
+            dd2 = jnp.where(active, s2 + beta * dd, dd)
+            return (y2, u2, s2, dd2, gamma2,
+                    k + active.astype(k.dtype))
 
         def cond(state):
             _, _, _, _, gamma, k = state
@@ -111,13 +123,13 @@ def _lm_solve_impl(resid_fn: Callable, x0: jnp.ndarray, cfg: LMConfig):
         u0 = -r
         s0 = dinv * (-g)          # A^T u0 - lam * y0 with y0 = 0
         g0 = jnp.vdot(s0, s0)
-        y, _, _, _, _, _ = jax.lax.while_loop(
+        y, _, _, _, _, k = jax.lax.while_loop(
             cond, body, (jnp.zeros_like(g), u0, s0, s0, g0, jnp.asarray(0))
         )
-        return dinv * y
+        return dinv * y, k
 
     def lm_step(state):
-        x, lam, nu, f_prev, it, done = state
+        x, lam, nu, f_prev, it, done, cg_total, f0 = state
         r, pullback = jax.vjp(resid_fn, x)
         f = 0.5 * jnp.vdot(r, r)
         (g,) = pullback(r)
@@ -139,7 +151,7 @@ def _lm_solve_impl(resid_fn: Callable, x0: jnp.ndarray, cfg: LMConfig):
             jax.vmap(lambda v: v * jt_vec(j_vec(v)))(probes), axis=0)
         d = jnp.maximum(d, 1e-6 * jnp.max(jnp.abs(d)) + 1e-30)
 
-        step = cgls(j_vec, jt_vec, r, g, lam, d)
+        step, cg_k = cgls(j_vec, jt_vec, r, g, lam, d)
         x_new = x + step
         r_new = resid_fn(x_new)
         f_new = 0.5 * jnp.vdot(r_new, r_new)
@@ -152,21 +164,41 @@ def _lm_solve_impl(resid_fn: Callable, x0: jnp.ndarray, cfg: LMConfig):
         rho = actual / jnp.maximum(pred, 1e-30)
         accepted = (actual > 0) & (pred > 0)
 
-        x = jnp.where(accepted, x_new, x)
+        # Lane freeze: under vmap the while_loop runs until ALL lanes
+        # finish, and the body keeps executing on lanes whose own exit
+        # already fired — without a latch a finished lane would keep
+        # stepping, making its result depend on how long SIBLING lanes
+        # iterate (batch padding then changes numerics: the sharded
+        # batch solve diverged up to ~12 mm from the single-device one,
+        # tests/test_multichip.py). `done` lanes keep their state
+        # verbatim; `degenerate` lanes (NaN cost from an all-masked
+        # trajectory, or exactly-zero cost) can never take an accepted
+        # step, so they latch done immediately instead of burning the
+        # full lm_iters x cg_iters budget (the empty-animal-slot cost
+        # in BENCH_r03's step4_3d regression).
+        degenerate = jnp.isnan(f) | (f <= 0.0)
+        frozen = done | degenerate
+        x = jnp.where(frozen, x, jnp.where(accepted, x_new, x))
         shrink = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
-        lam = jnp.where(accepted, lam * shrink, lam * nu)
-        lam = jnp.clip(lam, 1e-12, 1e12)
-        nu = jnp.where(accepted, 2.0, nu * 2.0)
+        lam_next = jnp.clip(
+            jnp.where(accepted, lam * shrink, lam * nu), 1e-12, 1e12)
+        lam = jnp.where(frozen, lam, lam_next)
+        nu = jnp.where(frozen, nu, jnp.where(accepted, 2.0, nu * 2.0))
         # scipy-TRF-style ftol: stop after an ACCEPTED, model-accurate
         # step whose cost reduction is relatively tiny (least_squares
         # ftol semantics: dF < ftol * F and ratio > 0.25; the reference
         # passes ftol=1e-3, aniposelib cameras.py:1170). The rho guard
         # keeps a truncated inner solve from stopping the outer loop.
-        done = accepted & (actual < cfg.ftol * f) & (rho > 0.25)
-        return (x, lam, nu, jnp.where(accepted, f_new, f), it + 1, done)
+        done_now = accepted & (actual < cfg.ftol * f) & (rho > 0.25)
+        f_out = jnp.where(
+            done, f_prev,
+            jnp.where(degenerate, f, jnp.where(accepted, f_new, f)))
+        return (x, lam, nu, f_out, it + 1, frozen | done_now,
+                jnp.where(frozen, cg_total, cg_total + cg_k),
+                jnp.where(it == 0, f, f0))
 
     def cond(state):
-        _, _, _, _, it, done = state
+        it, done = state[4], state[5]
         return (it < cfg.lm_iters) & (~done)
 
     state = (
@@ -176,6 +208,11 @@ def _lm_solve_impl(resid_fn: Callable, x0: jnp.ndarray, cfg: LMConfig):
         jnp.asarray(jnp.inf, x0.dtype),
         jnp.asarray(0),
         jnp.asarray(False),
+        jnp.asarray(0),
+        jnp.asarray(jnp.inf, x0.dtype),
     )
-    x, _, _, _, _, _ = jax.lax.while_loop(cond, lm_step, state)
-    return x
+    x, _, _, f_final, it, done, cg_total, f0 = jax.lax.while_loop(
+        cond, lm_step, state)
+    info = {"lm_iters": it, "cg_iters": cg_total, "ftol_stop": done,
+            "cost0": f0, "cost": f_final}
+    return x, info

@@ -60,6 +60,12 @@ class DetectorConfig:
     # the (B, R, 7, 7, C) outputs (~400 MB) stay batched for the box
     # head. 256 RoIs/chunk = the 4.7 GB peak the serving preset runs.
     rcnn_roi_chunk: int = 256
+    # RoIAlign implementation: "auto" uses the fused Pallas kernel
+    # (pallas_roialign.py: windows DMA'd HBM->VMEM once, interp matmuls
+    # in VMEM, no materialized (B,R,48,48,C) intermediate) when running
+    # on a TPU backend and the XLA slice+einsum path elsewhere;
+    # "xla"/"pallas" force a path (numerics match — shared geometry).
+    roialign_impl: str = "auto"
     strides: Tuple[int, ...] = (4, 8, 16, 32, 64)
     finest_scale: float = 56.0
     compute_dtype: Any = jnp.float32
@@ -236,10 +242,21 @@ class SwinMaskRCNN(nn.Module):
         feats4 = [f.astype(c.compute_dtype) for f in fpn_feats[:4]]
         R = proposals.shape[1]
         Rc = min(c.rcnn_roi_chunk, R)
+        use_pallas = (c.roialign_impl == "pallas"
+                      or (c.roialign_impl == "auto"
+                          and jax.default_backend() == "tpu"))
+        if use_pallas:
+            from macaque_tpu.nn.pallas_roialign import (
+                roi_align_windowed_fused,
+            )
+
+            def _align(f, p, l):
+                return roi_align_windowed_fused(f, p, l, 7, c.strides)
+        else:
+            def _align(f, p, l):
+                return roi_align_windowed(f, p, l, 7, c.strides)
         if R <= Rc:
-            roi_feats = roi_align_windowed(
-                feats4, proposals, lvl, 7, c.strides,
-            )                                      # (B, R, 7, 7, C)
+            roi_feats = _align(feats4, proposals, lvl)  # (B, R, 7, 7, C)
         else:
             # sequence the align in Rc-RoI chunks (HBM bound, see
             # rcnn_roi_chunk); pad R up to a chunk multiple, slice back
@@ -251,8 +268,7 @@ class SwinMaskRCNN(nn.Module):
                 prop_p.reshape(B, n_ch, Rc, 4), 1, 0)
             chunks_l = jnp.moveaxis(lvl_p.reshape(B, n_ch, Rc), 1, 0)
             rf = jax.lax.map(
-                lambda a: roi_align_windowed(feats4, a[0], a[1], 7,
-                                             c.strides),
+                lambda a: _align(feats4, a[0], a[1]),
                 (chunks_p, chunks_l),
             )                                  # (n_ch, B, Rc, 7, 7, C)
             roi_feats = jnp.moveaxis(rf, 0, 1).reshape(

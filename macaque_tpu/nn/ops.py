@@ -286,9 +286,55 @@ def roi_align_windowed(feats, rois: jnp.ndarray, levels: jnp.ndarray,
     ratios) have their sample grid clamped to the window, a
     border-replication approximation on the overflowing axis.
     """
+    canvas, ys, xs, Ky, Kx, window = _roi_window_geometry(
+        feats, rois, levels, out_size, strides, sampling_ratio, window)
+    B, L, H0, W0, C = canvas.shape
+    R = rois.shape[1]
+
+    # one contiguous window block per RoI via vmapped dynamic_slice.
+    # XLA unrolls this into one slice kernel per RoI — measured v5e at
+    # 16x256 RoIs that is the FASTEST lowering (~28 ms/chunk, ~170 GB/s
+    # per slice): a single multi-dim-slice gather lowers element-wise
+    # (~66 ms), a flat 1-D gather of per-row runs serializes (~620 ms),
+    # and the 196-sample flat-index row gather (the pyramid path) is
+    # indices-bound (~54 ms). (pallas_roialign.roi_align_windowed_fused
+    # goes further: it never materializes the windows in HBM.)
+    bidx = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, R))
+
+    def slice_one(b, lvl, y0, x0):
+        return jax.lax.dynamic_slice(
+            canvas,
+            (b, lvl.astype(jnp.int32),
+             y0.astype(jnp.int32), x0.astype(jnp.int32), jnp.int32(0)),
+            (1, 1, window, window, C),
+        )[0, 0]
+
+    win = jax.vmap(jax.vmap(slice_one))(bidx, levels, ys, xs)
+    # separable interpolation on the MXU, in the table dtype (bf16 in
+    # production: weight quantization ~0.4% of a bin, below box noise)
+    Ky = Ky.astype(canvas.dtype)
+    Kx = Kx.astype(canvas.dtype)
+    mid = jnp.einsum("brpi,brijc->brpjc", Ky, win)
+    return jnp.einsum("brqj,brpjc->brpqc", Kx, mid)
+
+
+def _roi_window_geometry(feats, rois, levels, out_size, strides,
+                         sampling_ratio, window, pad_x: int = 0):
+    """Shared front half of the windowed RoIAlign paths (XLA slice+einsum
+    above and the fused Pallas kernel in pallas_roialign.py): builds the
+    common level canvas, the per-RoI window start coordinates, and the
+    separable interpolation matrices.
+
+    ``pad_x`` adds extra zero columns on the canvas right edge (free —
+    folded into the level-stack pad) so a caller that rounds window
+    starts DOWN to an alignment boundary and widens the window by the
+    same amount (the Pallas DMA path: Mosaic only accepts sublane-dim
+    dynamic offsets with provable 8-alignment) can never read past W0.
+
+    Returns (canvas (B, L, H0, W0+pad_x, C), ys (B, R), xs (B, R),
+    Ky (B, R, out, window), Kx (B, R, out, window), window)."""
     L = len(feats)
     B, H0, W0, C = feats[0].shape
-    R = rois.shape[1]
     window = min(window, H0, W0)   # tiny inputs: window can't exceed canvas
     s = sampling_ratio
     n = out_size * s
@@ -297,9 +343,9 @@ def roi_align_windowed(feats, rois: jnp.ndarray, levels: jnp.ndarray,
     # (never read: stencil indices are clamped to the valid extent)
     canvas = jnp.stack(
         [jnp.pad(f, ((0, 0), (0, H0 - f.shape[1]),
-                     (0, W0 - f.shape[2]), (0, 0))) for f in feats],
+                     (0, W0 + pad_x - f.shape[2]), (0, 0))) for f in feats],
         axis=1,
-    )                                               # (B, L, H0, W0, C)
+    )                                       # (B, L, H0, W0+pad_x, C)
 
     Hs = jnp.asarray([f.shape[1] for f in feats])[levels]   # (B, R)
     Ws = jnp.asarray([f.shape[2] for f in feats])[levels]
@@ -338,33 +384,10 @@ def roi_align_windowed(feats, rois: jnp.ndarray, levels: jnp.ndarray,
     xs, Kx = axis_matrix(gx, Ws.astype(gx.dtype), Ws - window)
 
     # fold the s-sample average into the matrices: (B, R, out, window)
-    Ky = Ky.reshape(B, R, out_size, s, window).mean(3)
-    Kx = Kx.reshape(B, R, out_size, s, window).mean(3)
-
-    # one contiguous window block per RoI via vmapped dynamic_slice.
-    # XLA unrolls this into one slice kernel per RoI — measured v5e at
-    # 16x256 RoIs that is the FASTEST lowering (~28 ms/chunk, ~170 GB/s
-    # per slice): a single multi-dim-slice gather lowers element-wise
-    # (~66 ms), a flat 1-D gather of per-row runs serializes (~620 ms),
-    # and the 196-sample flat-index row gather (the pyramid path) is
-    # indices-bound (~54 ms).
-    bidx = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, R))
-
-    def slice_one(b, lvl, y0, x0):
-        return jax.lax.dynamic_slice(
-            canvas,
-            (b, lvl.astype(jnp.int32),
-             y0.astype(jnp.int32), x0.astype(jnp.int32), jnp.int32(0)),
-            (1, 1, window, window, C),
-        )[0, 0]
-
-    win = jax.vmap(jax.vmap(slice_one))(bidx, levels, ys, xs)
-    # separable interpolation on the MXU, in the table dtype (bf16 in
-    # production: weight quantization ~0.4% of a bin, below box noise)
-    Ky = Ky.astype(canvas.dtype)
-    Kx = Kx.astype(canvas.dtype)
-    mid = jnp.einsum("brpi,brijc->brpjc", Ky, win)
-    return jnp.einsum("brqj,brpjc->brpqc", Kx, mid)
+    B_, R_ = rois.shape[:2]
+    Ky = Ky.reshape(B_, R_, out_size, s, window).mean(3)
+    Kx = Kx.reshape(B_, R_, out_size, s, window).mean(3)
+    return canvas, ys, xs, Ky, Kx, window
 
 
 def roi_align_pyramid(feats, rois: jnp.ndarray, levels: jnp.ndarray,

@@ -207,9 +207,16 @@ def run_step4(
         tri_cfg.optim and np.isfinite(p3d_init_all[a, ..., 0]).sum() >= 20
         for a in range(n_animal)
     ])
-    if do_refine.any():
-        p2d_sh, n_a = put_batch_sharded(points_all, mesh)
-        p3d_sh, _ = put_batch_sharded(p3d_init_all, mesh)
+    # Batch-solve ONLY the animals that refine. Empty (all-NaN) lanes —
+    # unused animal slots — have NaN cost, so their `done` flag never
+    # fires and they drag the whole vmapped while_loop to the full
+    # lm_iters x cg_iters budget (a 4-slot scene with 2 animals paid
+    # ~2x; the BENCH_r03 step4_3d regression was partly this).
+    refine_pos = {a: i for i, a in enumerate(np.where(do_refine)[0])}
+    if refine_pos:
+        sel = np.where(do_refine)[0]
+        p2d_sh, n_a = put_batch_sharded(points_all[sel], mesh)
+        p3d_sh, _ = put_batch_sharded(p3d_init_all[sel], mesh)
         p3d_ref_all, jl_all = refine_points_3d_batch(
             cam, p2d_sh, p3d_sh,
             constraints=constraints, constraints_weak=constraints_weak,
@@ -228,9 +235,9 @@ def run_step4(
         scores = f_scs[a].copy()
         p3d_init = p3d_init_all[a]
         if do_refine[a]:
-            p3d = p3d_ref_all[a]
+            p3d = p3d_ref_all[refine_pos[a]]
             joint_len_out.append(
-                jl_all[a] if jl_all.ndim > 1 else jl_all)
+                jl_all[refine_pos[a]] if jl_all.ndim > 1 else jl_all)
             min_cams = 1
         else:
             p3d = p3d_init

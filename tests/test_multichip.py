@@ -53,7 +53,15 @@ def test_production_stages_mesh_equal(tmp_path):
                           np.arange(96, dtype=np.int32))
         run_step2(rd, rig, CrossViewConfig(), mesh=m)
         run_step3(rd, rig, CrossFrameConfig(), mesh=m)
-        run_step4(rd, rig, mesh=m)
+        # converged solver budget for the comparison: vmap over 2
+        # (single) vs 8 (mesh-padded) animal lanes compiles
+        # different-shaped programs, whose fusion/reassociation
+        # rounding the production early-exit budget (30/60) amplifies
+        # to ~10 mm of flat-valley wobble. At a converged budget both
+        # programs land on the same minimizer, so this isolates what
+        # the test is about: sharding correctness, not budget noise.
+        run_step4(rd, rig, mesh=m, refine_overrides=dict(
+            lm_iters=100, cg_iters=300, cg_rtol=1e-4))
         outs[tag] = rd
 
     mk_s = read_pickle(os.path.join(outs["single"],
