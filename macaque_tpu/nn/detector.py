@@ -246,17 +246,59 @@ class SwinMaskRCNN(nn.Module):
                       or (c.roialign_impl == "auto"
                           and jax.default_backend() == "tpu"))
         if use_pallas:
+            from macaque_tpu.nn.ops import _roi_level_canvas
             from macaque_tpu.nn.pallas_roialign import (
-                roi_align_windowed_fused,
+                _ALIGN, roi_align_windowed_fused,
+                roi_align_windowed_switch, roi_window_buckets,
             )
 
-            def _align(f, p, l):
-                return roi_align_windowed_fused(f, p, l, 7, c.strides)
+            # level canvas built ONCE per detect — inside the chunked
+            # lax.map (and the lax.switch branches) it is loop-invariant
+            # but not hoistable across the conditional
+            canvas = _roi_level_canvas(feats4, pad_x=_ALIGN)
+
+            # interpret mode lets roialign_impl="pallas" run (slowly) on
+            # CPU so tests can pin the full adaptive path against XLA
+            interp = jax.default_backend() != "tpu"
+
+            if R > Rc:
+                # Adaptive windows (chunked path only): the kernel's HBM
+                # cost is the per-RoI window read, and mmdet's level
+                # assignment means most proposals need far less than the
+                # aspect-2 worst case the fixed 48 px window covers.
+                # Sort RoIs by their exact minimal window bucket
+                # (descending, stable — RPN rank preserved within a
+                # bucket) so each sequenced chunk runs the smallest
+                # kernel that is EXACT for all its RoIs
+                # (roi_window_buckets guarantees bucketed == fixed-48).
+                # RoI order is irrelevant downstream: the head is
+                # per-RoI and the final NMS re-ranks by score. A single
+                # unsorted call maxes out at the largest bucket, so the
+                # R <= Rc case skips the lax.switch (measured ~6 ms of
+                # conditional overhead per call on v5e) and runs the
+                # fixed worst-case window directly.
+                need = roi_window_buckets(feats4, proposals, lvl, 7,
+                                          c.strides)
+                order = jnp.argsort(-need, axis=1)  # stable: RPN rank kept
+                proposals = jnp.take_along_axis(
+                    proposals, order[..., None], 1)
+                lvl = jnp.take_along_axis(lvl, order, 1)
+                prop_valid = jnp.take_along_axis(prop_valid, order, 1)
+                need = jnp.take_along_axis(need, order, 1)
+
+            def _align(f, p, l, widx):
+                if widx is None:
+                    return roi_align_windowed_fused(
+                        f, p, l, 7, c.strides, interpret=interp,
+                        canvas=canvas)
+                return roi_align_windowed_switch(
+                    f, p, l, 7, c.strides, widx, interpret=interp,
+                    canvas=canvas)
         else:
-            def _align(f, p, l):
+            def _align(f, p, l, widx):
                 return roi_align_windowed(f, p, l, 7, c.strides)
         if R <= Rc:
-            roi_feats = _align(feats4, proposals, lvl)  # (B, R, 7, 7, C)
+            roi_feats = _align(feats4, proposals, lvl, None)
         else:
             # sequence the align in Rc-RoI chunks (HBM bound, see
             # rcnn_roi_chunk); pad R up to a chunk multiple, slice back
@@ -267,9 +309,17 @@ class SwinMaskRCNN(nn.Module):
             chunks_p = jnp.moveaxis(
                 prop_p.reshape(B, n_ch, Rc, 4), 1, 0)
             chunks_l = jnp.moveaxis(lvl_p.reshape(B, n_ch, Rc), 1, 0)
+            if use_pallas:
+                # padding RoIs are degenerate zero boxes -> bucket by
+                # their own geometry (all-outside => bucket 0)
+                need_p = jnp.pad(need, ((0, 0), (0, pad_r)))
+                chunks_w = jnp.moveaxis(
+                    need_p.reshape(B, n_ch, Rc), 1, 0).max((1, 2))
+            else:
+                chunks_w = jnp.zeros((n_ch,), jnp.int32)
             rf = jax.lax.map(
-                lambda a: _align(feats4, a[0], a[1]),
-                (chunks_p, chunks_l),
+                lambda a: _align(feats4, a[0], a[1], a[2]),
+                (chunks_p, chunks_l, chunks_w),
             )                                  # (n_ch, B, Rc, 7, 7, C)
             roi_feats = jnp.moveaxis(rf, 0, 1).reshape(
                 B, n_ch * Rc, *rf.shape[3:])[:, :R]

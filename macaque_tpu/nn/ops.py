@@ -318,8 +318,24 @@ def roi_align_windowed(feats, rois: jnp.ndarray, levels: jnp.ndarray,
     return jnp.einsum("brqj,brpjc->brpqc", Kx, mid)
 
 
+def _roi_level_canvas(feats, pad_x: int = 0):
+    """Level stack on a common (H0, W0 + pad_x) canvas; rows beyond a
+    level's H_l are zero (never read: stencil indices are clamped to the
+    valid extent). Hoist this out of chunked/conditional RoIAlign calls —
+    it only depends on the FPN maps, and rebuilding it inside a
+    lax.map/lax.switch body costs ~2 ms of HBM traffic per call at
+    production shapes."""
+    B, H0, W0, C = feats[0].shape
+    return jnp.stack(
+        [jnp.pad(f, ((0, 0), (0, H0 - f.shape[1]),
+                     (0, W0 + pad_x - f.shape[2]), (0, 0))) for f in feats],
+        axis=1,
+    )                                       # (B, L, H0, W0+pad_x, C)
+
+
 def _roi_window_geometry(feats, rois, levels, out_size, strides,
-                         sampling_ratio, window, pad_x: int = 0):
+                         sampling_ratio, window, pad_x: int = 0,
+                         align_x: int = 0, canvas=None):
     """Shared front half of the windowed RoIAlign paths (XLA slice+einsum
     above and the fused Pallas kernel in pallas_roialign.py): builds the
     common level canvas, the per-RoI window start coordinates, and the
@@ -331,21 +347,74 @@ def _roi_window_geometry(feats, rois, levels, out_size, strides,
     same amount (the Pallas DMA path: Mosaic only accepts sublane-dim
     dynamic offsets with provable 8-alignment) can never read past W0.
 
+    ``align_x`` > 0 bakes that alignment into the x geometry directly:
+    the returned xs are rounded DOWN to the alignment boundary and Kx is
+    built (window + align_x) wide with the sub-offset folded into its
+    column positions — identical numerics to shifting an unaligned Kx,
+    without the per-RoI shift matmul. ``canvas`` supplies a prebuilt
+    _roi_level_canvas(feats, pad_x) to skip rebuilding it per call.
+
     Returns (canvas (B, L, H0, W0+pad_x, C), ys (B, R), xs (B, R),
-    Ky (B, R, out, window), Kx (B, R, out, window), window)."""
-    L = len(feats)
+    Ky (B, R, out, window), Kx (B, R, out, window + align_x), window)."""
     B, H0, W0, C = feats[0].shape
     window = min(window, H0, W0)   # tiny inputs: window can't exceed canvas
+
+    if canvas is None:
+        canvas = _roi_level_canvas(feats, pad_x)
+
+    gy, gx, Hs, Ws = _roi_sample_grids(
+        feats, rois, levels, out_size, strides, sampling_ratio)
+
+    def axis_matrix(g, extent, max_start, align=0):
+        """g (B, R, n) sample coords; extent (B, R) valid length H_l/W_l.
+        Returns (start (B, R) int, K (B, R, n, window + align))."""
+        center = 0.5 * (g[..., 0] + g[..., -1])
+        start = jnp.clip(
+            jnp.floor(center).astype(jnp.int32) - window // 2,
+            0, jnp.maximum(max_start, 0),
+        )
+        startf = start.astype(g.dtype)[..., None]
+        # mmcv semantics: samples fully outside (-1, extent) contribute 0;
+        # inside samples clamp their stencil to [0, extent-1]
+        inside = (g > -1.0) & (g < extent[..., None])
+        gc = jnp.clip(g, 0.0, extent[..., None] - 1.0)
+        # clamp into the window (only binds for >window-2 px extents)
+        rel = jnp.clip(gc - startf, 0.0, window - 1.0)
+        if align:
+            # aligned start: round down, widen K by the alignment, and
+            # shift the stencil positions by the remainder — exactly the
+            # unaligned K with its columns moved right by (start - qstart)
+            qstart = (start // align) * align
+            rel = rel + (start - qstart).astype(g.dtype)[..., None]
+            start = qstart
+        idx = jnp.arange(window + align, dtype=g.dtype)
+        K = jnp.maximum(0.0, 1.0 - jnp.abs(rel[..., None] - idx))
+        return start, K * inside[..., None]
+
+    ys, Ky = axis_matrix(gy, Hs.astype(gy.dtype), Hs - window)
+    xs, Kx = axis_matrix(gx, Ws.astype(gx.dtype), Ws - window,
+                         align=align_x)
+
+    # fold the s-sample average into the matrices: (B, R, out, window)
+    s = sampling_ratio
+    B_, R_ = rois.shape[:2]
+    Ky = Ky.reshape(B_, R_, out_size, s, window).mean(3)
+    Kx = Kx.reshape(B_, R_, out_size, s, window + align_x).mean(3)
+    return canvas, ys, xs, Ky, Kx, window
+
+
+def _roi_sample_grids(feats, rois, levels, out_size, strides,
+                      sampling_ratio):
+    """Per-RoI bilinear sample coordinates in assigned-level feature-map
+    units (mmcv aligned RoIAlign grid). Shared between the window
+    geometry above and the adaptive window-bucket selector
+    (pallas_roialign.roi_window_buckets).
+
+    Returns (gy (B, R, out*s), gx (B, R, out*s), Hs (B, R), Ws (B, R))
+    where Hs/Ws are the assigned level's valid extents."""
+    L = len(feats)
     s = sampling_ratio
     n = out_size * s
-
-    # level stack on a common (H0, W0) canvas; rows beyond H_l are zero
-    # (never read: stencil indices are clamped to the valid extent)
-    canvas = jnp.stack(
-        [jnp.pad(f, ((0, 0), (0, H0 - f.shape[1]),
-                     (0, W0 + pad_x - f.shape[2]), (0, 0))) for f in feats],
-        axis=1,
-    )                                       # (B, L, H0, W0+pad_x, C)
 
     Hs = jnp.asarray([f.shape[1] for f in feats])[levels]   # (B, R)
     Ws = jnp.asarray([f.shape[2] for f in feats])[levels]
@@ -360,34 +429,7 @@ def _roi_window_geometry(feats, rois, levels, out_size, strides,
     grid = (jnp.arange(n) + 0.5) / s                # fractional bin coords
     gy = y1[..., None] + grid * ((y2 - y1) / out_size)[..., None]
     gx = x1[..., None] + grid * ((x2 - x1) / out_size)[..., None]
-
-    def axis_matrix(g, extent, max_start):
-        """g (B, R, n) sample coords; extent (B, R) valid length H_l/W_l.
-        Returns (start (B, R) int, K (B, R, n, window))."""
-        center = 0.5 * (g[..., 0] + g[..., -1])
-        start = jnp.clip(
-            jnp.floor(center).astype(jnp.int32) - window // 2,
-            0, jnp.maximum(max_start, 0),
-        )
-        startf = start.astype(g.dtype)[..., None]
-        # mmcv semantics: samples fully outside (-1, extent) contribute 0;
-        # inside samples clamp their stencil to [0, extent-1]
-        inside = (g > -1.0) & (g < extent[..., None])
-        gc = jnp.clip(g, 0.0, extent[..., None] - 1.0)
-        # clamp into the window (only binds for >window-2 px extents)
-        rel = jnp.clip(gc - startf, 0.0, window - 1.0)
-        idx = jnp.arange(window, dtype=g.dtype)
-        K = jnp.maximum(0.0, 1.0 - jnp.abs(rel[..., None] - idx))
-        return start, K * inside[..., None]
-
-    ys, Ky = axis_matrix(gy, Hs.astype(gy.dtype), Hs - window)
-    xs, Kx = axis_matrix(gx, Ws.astype(gx.dtype), Ws - window)
-
-    # fold the s-sample average into the matrices: (B, R, out, window)
-    B_, R_ = rois.shape[:2]
-    Ky = Ky.reshape(B_, R_, out_size, s, window).mean(3)
-    Kx = Kx.reshape(B_, R_, out_size, s, window).mean(3)
-    return canvas, ys, xs, Ky, Kx, window
+    return gy, gx, Hs, Ws
 
 
 def roi_align_pyramid(feats, rois: jnp.ndarray, levels: jnp.ndarray,

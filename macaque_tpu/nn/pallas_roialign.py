@@ -40,9 +40,62 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from macaque_tpu.nn.ops import _roi_window_geometry
+from macaque_tpu.nn.ops import _roi_window_geometry, _roi_sample_grids
 
 _ALIGN = 8  # Mosaic sublane-dim DMA offset alignment (see module doc)
+
+# Adaptive window bucket ladder (roi_window_buckets below). The last
+# entry must be the detector's full worst-case window: it is the
+# fallback for RoIs no smaller bucket covers, so bucketed outputs are
+# exactly the fixed-window outputs by construction.
+WINDOW_BUCKETS = (16, 24, 32, 48)
+
+
+def roi_window_buckets(feats, rois: jnp.ndarray, levels: jnp.ndarray,
+                       out_size: int, strides, sampling_ratio: int = 2,
+                       buckets=WINDOW_BUCKETS) -> jnp.ndarray:
+    """Smallest window bucket that reproduces the fixed worst-case
+    window's RoIAlign output EXACTLY, per RoI.
+
+    The fused kernel's HBM cost is the window reads — window x (window+8)
+    x C bytes per RoI — but mmdet's finest_scale level assignment means
+    most proposals need far less than the aspect-2 worst case the fixed
+    48 px window covers (boxes under ~56 px image scale all land on
+    level 0 with sub-16 px extents). Bucket index i is returned only if
+    window buckets[i] provably covers every bilinear stencil point of
+    every in-bounds sample that the largest bucket covers (same centered
+    window placement rule as ops._roi_window_geometry.axis_matrix), so
+    align(bucket) == align(buckets[-1]) exactly; anything else falls
+    back to the last bucket, i.e. the current fixed-window behavior.
+
+    Returns (B, R) int32 bucket indices into ``buckets``.
+    """
+    gy, gx, Hs, Ws = _roi_sample_grids(
+        feats, rois, levels, out_size, strides, sampling_ratio)
+
+    def axis_ok(g, ext, w):
+        ext = ext.astype(g.dtype)[..., None]
+        inside = (g > -1.0) & (g < ext)
+        gc = jnp.clip(g, 0.0, jnp.maximum(ext - 1.0, 0.0))
+        # stencil support of sample gc is {floor(gc), floor(gc)+1}, but
+        # the +1 neighbor has zero weight when gc is integral — ceil is
+        # the exact upper bound (integral gc happens systematically:
+        # border samples clip to exactly ext-1)
+        lo = jnp.min(jnp.where(inside, jnp.floor(gc), jnp.inf), axis=-1)
+        hi = jnp.max(jnp.where(inside, jnp.ceil(gc), -jnp.inf), axis=-1)
+        center = 0.5 * (g[..., 0] + g[..., -1])
+        start = jnp.clip(jnp.floor(center) - w // 2,
+                         0.0, jnp.maximum(ext[..., 0] - w, 0.0))
+        ok = (start <= lo) & (hi <= start + w - 1)
+        # all-outside RoIs output zero under any window
+        return ok | ~inside.any(-1)
+
+    idx = jnp.full(rois.shape[:2], len(buckets) - 1, jnp.int32)
+    for i in range(len(buckets) - 2, -1, -1):
+        w = buckets[i]
+        ok = axis_ok(gy, Hs, w) & axis_ok(gx, Ws, w)
+        idx = jnp.where(ok, jnp.int32(i), idx)
+    return idx
 
 
 def _kernel(bl_ref, y_ref, xq_ref, ky_ref, kx_ref, canvas_ref, out_ref,
@@ -105,6 +158,28 @@ def _kernel(bl_ref, y_ref, xq_ref, ky_ref, kx_ref, canvas_ref, out_ref,
             ).astype(out_ref.dtype)
 
 
+def roi_align_windowed_switch(feats, rois, levels, out_size: int, strides,
+                              bucket_idx, sampling_ratio: int = 2,
+                              buckets=WINDOW_BUCKETS, group: int = 1,
+                              interpret: bool = False, canvas=None):
+    """Fused RoIAlign with the window picked at runtime: ``bucket_idx``
+    (scalar int32 into ``buckets``, e.g. the max of roi_window_buckets
+    over this call's RoIs) selects among per-window specializations of
+    the fused kernel via lax.switch. Every branch returns the same
+    (B, R, out, out, C) shape; the selected branch's window is exact for
+    all RoIs whose bucket <= bucket_idx (roi_window_buckets docstring),
+    so calls gated on the groupwise max are exactly the fixed-window
+    result while reading only window*(window+8)*C bytes per RoI."""
+    branches = [
+        functools.partial(
+            roi_align_windowed_fused, out_size=out_size, strides=strides,
+            sampling_ratio=sampling_ratio, window=w, group=group,
+            interpret=interpret, canvas=canvas)
+        for w in buckets
+    ]
+    return jax.lax.switch(bucket_idx, branches, feats, rois, levels)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("out_size", "strides", "sampling_ratio", "window",
@@ -120,6 +195,7 @@ def roi_align_windowed_fused(
     window: int = 48,
     group: int = 1,
     interpret: bool = False,
+    canvas=None,
 ) -> jnp.ndarray:
     """Drop-in replacement for ops.roi_align_windowed (same signature,
     same numerics) that fuses the per-RoI window reads with the
@@ -135,25 +211,22 @@ def roi_align_windowed_fused(
     (group 1/2/4 within noise — the DMA pipeline is already saturated
     at 1, so the default keeps the smallest VMEM footprint), at the
     window-read bandwidth roofline (2.8 GB of HBM reads, read once).
+
+    ``canvas`` optionally supplies a prebuilt
+    ops._roi_level_canvas(feats, pad_x=8) so chunked/conditional callers
+    build it once instead of per call (~2 ms of HBM traffic each).
     """
-    canvas, ys, xs, Ky, Kx, window = _roi_window_geometry(
+    canvas, ys, xs, Ky, Kx_w, window = _roi_window_geometry(
         feats, rois, levels, out_size, strides, sampling_ratio, window,
-        pad_x=_ALIGN)
+        pad_x=_ALIGN, align_x=_ALIGN, canvas=canvas)
     B, L, H0, W0p, C = canvas.shape
     R = rois.shape[1]
     dtype = canvas.dtype
     wx = window + _ALIGN
 
-    # x starts rounded down to the DMA alignment; the remainder shifts
-    # the Kx columns into the widened window: Kx_w[..., j + dx] = Kx[..., j]
+    # geometry returned xs already rounded down to the DMA alignment and
+    # Kx built wx wide with the remainder folded into its columns
     xq = xs // _ALIGN                                       # (B, R)
-    dx = (xs - xq * _ALIGN).astype(jnp.int32)
-    j = jnp.arange(window, dtype=jnp.int32)
-    k = jnp.arange(wx, dtype=jnp.int32)
-    shift = (k[None, None, None, :]
-             == j[None, None, :, None] + dx[..., None, None])
-    Kx_w = jnp.einsum("brqj,brjk->brqk", Kx,
-                      shift.astype(Kx.dtype))               # (B,R,out,wx)
 
     n = B * R
     n_pad = -(-n // group) * group
