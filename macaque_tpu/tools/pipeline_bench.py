@@ -226,6 +226,13 @@ def run(n_frame: int = 120, n_cam: int = 4, render: bool = True,
 def main():
     import argparse
 
+    # share bench.py's in-repo pre-warmed compilation cache: this
+    # subprocess compiles three full-size step-1 model tiers plus the
+    # stage programs — cold, that alone exceeds the driver's budget
+    from macaque_tpu.core.compile_cache import setup_compile_cache
+
+    setup_compile_cache(".jax_bench_cache")
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int,
                     default=int(os.environ.get("BENCH_PIPE_FRAMES", 120)))

@@ -20,10 +20,8 @@ jax.config.update("jax_enable_x64", True)
 # dominate the suite's wall clock; a warmed cache cuts the quick tier
 # severalfold across runs (cache key includes backend/flags, so the
 # 8-virtual-device CPU programs here never collide with TPU entries).
-try:
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.environ.get("JAX_CACHE_DIR", "/tmp/macaque_tpu_jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-except Exception:  # pragma: no cover - older jax
-    pass
+# IN-REPO (gitignored), not /tmp: /tmp does not survive across driver
+# runs, which is exactly how BENCH_r04 lost its warm cache.
+from macaque_tpu.core.compile_cache import setup_compile_cache  # noqa: E402
+
+setup_compile_cache(".jax_test_cache")
