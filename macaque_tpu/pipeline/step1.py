@@ -232,8 +232,17 @@ def process_camera(
         tt["track"] += _tick() - t0
 
         t0 = _tick()
-        kps = perception.pose(frames, pose_boxes, valid)        # (B, D, J, 3)
-        labels, lscores = perception.classify(frames, id_boxes, valid)
+        if valid.any():
+            kps = perception.pose(frames, pose_boxes, valid)  # (B, D, J, 3)
+            labels, lscores = perception.classify(frames, id_boxes, valid)
+        else:
+            # nothing tracked in the whole chunk (empty cage, night
+            # footage): the pose/ID programs' outputs would be fully
+            # masked, so skip the device calls — the assembly loop below
+            # reads only valid slots. Exactly equivalent by construction.
+            kps = np.full((len(rows_c), D, 17, 3), np.nan, np.float32)
+            labels = np.full((len(rows_c), D), -1, int)
+            lscores = np.zeros((len(rows_c), D), np.float32)
         tt["pose+id"] += _tick() - t0
 
         # host: per-joint threshold + EMA + row assembly

@@ -19,7 +19,13 @@ import os
 
 
 def build_flax_perception(weights_dir: str):
-    """Load converted .pth checkpoints into the Flax models."""
+    """Load converted .pth checkpoints into the Flax models.
+
+    Conversions are cached as Orbax checkpoints under
+    ``<weights_dir>/orbax_cache/`` (override with
+    ``MACAQUE_TPU_ORBAX_CACHE``): the first run converts through torch,
+    later runs restore natively — the reference re-loads .pth through
+    torch on every run (step1:98-120)."""
     import jax
     import jax.numpy as jnp
 
@@ -27,9 +33,9 @@ def build_flax_perception(weights_dir: str):
         DetectorConfig, ResNetClassifier, ResNetConfig, SwinMaskRCNN,
         ViTPose, VitPoseConfig,
     )
+    from macaque_tpu.nn.checkpoint import convert_and_cache
     from macaque_tpu.nn.convert import (
         convert_resnet, convert_swin_maskrcnn, convert_vitpose,
-        load_torch_checkpoint,
     )
     from macaque_tpu.nn.swin import SwinConfig
     from macaque_tpu.pipeline.perception import FlaxPerception
@@ -39,6 +45,11 @@ def build_flax_perception(weights_dir: str):
     fast = os.environ.get("MACAQUE_TPU_FAST", "0") == "1"
     serving = os.environ.get("MACAQUE_TPU_SERVING", "0") == "1" or fast
     int8 = int8 or serving
+    # keep-ratio detector input target (mmdet parity 800; the fast tier's
+    # 640 is a documented trade-off). The env override exists for
+    # wiring drills / constrained hosts — changing it changes accuracy.
+    det_target = int(os.environ.get(
+        "MACAQUE_TPU_DET_TARGET", 640 if fast else 800))
     det_kw = dict(swin=SwinConfig(compute_dtype=dtype),
                   compute_dtype=dtype)
     det = SwinMaskRCNN(DetectorConfig.serving(**det_kw) if serving
@@ -51,21 +62,20 @@ def build_flax_perception(weights_dir: str):
     ))
     idm = ResNetClassifier(ResNetConfig(compute_dtype=dtype))
 
-    det_vars = jax.tree.map(jnp.asarray, convert_swin_maskrcnn(
-        load_torch_checkpoint(
-            os.path.join(weights_dir, "detection/detection.pth"))
-    ))
-    pose_vars = jax.tree.map(jnp.asarray, convert_vitpose(
-        load_torch_checkpoint(os.path.join(weights_dir, "pose/pose.pth"))
-    ))
+    cache_dir = os.environ.get(
+        "MACAQUE_TPU_ORBAX_CACHE", os.path.join(weights_dir, "orbax_cache"))
+    det_vars = jax.tree.map(jnp.asarray, convert_and_cache(
+        os.path.join(weights_dir, "detection/detection.pth"),
+        convert_swin_maskrcnn, cache_dir))
+    pose_vars = jax.tree.map(jnp.asarray, convert_and_cache(
+        os.path.join(weights_dir, "pose/pose.pth"),
+        convert_vitpose, cache_dir))
     if int8:
         from macaque_tpu.nn.quant import quantize_vitpose_params
 
         pose_vars = quantize_vitpose_params(pose_vars)
-    id_vars = jax.tree.map(jnp.asarray, convert_resnet(
-        load_torch_checkpoint(
-            os.path.join(weights_dir, "id/id_finetuned.pth"))
-    ))
+    id_vars = jax.tree.map(jnp.asarray, convert_and_cache(
+        os.path.join(weights_dir, "id/id_finetuned.pth"),
+        convert_resnet, cache_dir))
     return FlaxPerception(det, det_vars, pose, pose_vars, idm, id_vars,
-                          flip_test=not fast,
-                          det_target=640 if fast else 800)
+                          flip_test=not fast, det_target=det_target)

@@ -44,6 +44,7 @@ def main():
     from macaque_tpu.nn.detector import detect_frames
     from macaque_tpu.nn.preprocess import normalize_rgb
 
+    tier = os.environ.get("ROI_PROBE_TIER", "serving")
     chunks = [int(a) for a in sys.argv[1:]] or [128, 64, 32]
     B, H, W = 16, 800, 608
     n_short, n_long = 1, 9
@@ -55,7 +56,9 @@ def main():
     log(f"devices: {jax.devices()}  B={B}")
     det_vars = None
     for rc in chunks:
-        model = SwinMaskRCNN(DetectorConfig.serving(
+        cfg_cls = (DetectorConfig if tier == "parity"
+                   else DetectorConfig.serving)
+        model = SwinMaskRCNN(cfg_cls(
             swin=SwinConfig(compute_dtype=dtype),
             compute_dtype=dtype, rcnn_roi_chunk=rc,
         ))
