@@ -88,9 +88,9 @@ def main():
         float(fn(jnp.int32(n_long + 1), det_vars, frames))
         t_long = time.time() - t0
         per = max(t_long - t_short, 1e-9) / (n_long - n_short)
-        log(f"serving rc={rc}: compile {t_compile:.1f}s -> "
+        log(f"{tier} rc={rc}: compile {t_compile:.1f}s -> "
             f"{per * 1000:.1f} ms/chunk")
-        print(json.dumps({"rcnn_roi_chunk": rc,
+        print(json.dumps({"tier": tier, "rcnn_roi_chunk": rc,
                           "ms_per_chunk": round(per * 1000, 2)}),
               flush=True)
 
