@@ -621,6 +621,7 @@ def test_camera_group_calibrate_rows():
     assert abs(group.rig.K[0, 0, 0] - 600) / 600 < 0.05
 
 
+@pytest.mark.slow  # ~30 s: full fisheye group calibrate + BA on 1 core
 def test_camera_group_calibrate_rows_fisheye():
     """calibrate_rows on a fisheye group (reference: anipose
     ``calibration.fisheye = true`` -> CameraGroup.from_names(fisheye=True)

@@ -22,6 +22,7 @@ import os
 import shutil
 
 import numpy as np
+import pytest
 
 from macaque_tpu.calib.workflow import (
     _load_marker_problem, _triangulate_trace,
@@ -119,6 +120,8 @@ def _rms_with(base, ids):
     return float(np.sqrt(np.nanmean(np.sum(d[ok] ** 2, axis=-1))))
 
 
+@pytest.mark.slow  # ~10 min on a 1-core host: the reference side runs
+# scipy finite-difference sparse-TRF over the full 16-param/camera BA
 def test_golden_optimize_all_camera_params(tmp_path):
     mct = _import_reference_mct()
     tmp_path = str(tmp_path)

@@ -181,6 +181,7 @@ class TestAdaptiveWindows:
             feats, rois, levels, 7, strides, interpret=True, canvas=canvas)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
+    @pytest.mark.slow  # ~2 min: full detect twice, Pallas interpret mode
     def test_detector_adaptive_path_matches_xla(self):
         """Full detect with roialign_impl='pallas' (adaptive windows +
         RoI sort + chunked lax.switch, interpret mode on CPU) against
