@@ -28,8 +28,12 @@ import sys
 import time
 
 
+_T0 = time.time()
+
+
 def log(*a):
-    print(*a, file=sys.stderr, flush=True)
+    print(f"[t+{time.time() - _T0:6.1f}s]", *a, file=sys.stderr,
+          flush=True)
 
 
 def emit(obj):
@@ -116,6 +120,7 @@ def main():
 
     # ------------------------------------------------------- detection
     swin_pallas = os.environ.get("BENCH_SWIN_PALLAS", "0") == "1"
+    log("build: det model/vars")
     det_model = SwinMaskRCNN(DetectorConfig(
         swin=SwinConfig(compute_dtype=dtype,
                         use_pallas_attention=swin_pallas),
@@ -154,6 +159,7 @@ def main():
         # BENCH_DET_INT8=1 additionally serves the Swin trunk's block
         # Dense layers in int8 (nn/quant.quantize_swin_params scheme)
         det_int8 = os.environ.get("BENCH_DET_INT8", "0") == "1"
+        log("build: serving det model/vars")
         fast_model = SwinMaskRCNN(DetectorConfig.serving(
             swin=SwinConfig(compute_dtype=dtype,
                             use_pallas_attention=swin_pallas,
@@ -174,6 +180,7 @@ def main():
     # trade-off the reference never makes — reported as its own tier,
     # never folded into the parity or serving numbers.
     if os.environ.get("BENCH_FAST", "1") == "1":
+        log("build: 640 det model/vars")
         H6, W6 = 640, 480
         frames640 = jnp.asarray(
             npr.integers(0, 255, (B, H6, W6, 3), dtype=np.uint8))
@@ -193,6 +200,7 @@ def main():
     # directly, no HBM transposes): 128.3 vs 140.1 ms per 64-crop
     # ViT-huge apply vs XLA — default on
     use_pallas = os.environ.get("BENCH_PALLAS_ATTN", "1") == "1"
+    log("build: pose model/vars")
     pose_model = ViTPose(VitPoseConfig(compute_dtype=dtype,
                                        use_pallas_attention=use_pallas))
     pose_vars = make_vars(pose_model, jnp.zeros((1, 256, 192, 3)))
@@ -265,7 +273,10 @@ def main():
         q_model = ViTPose(VitPoseConfig(compute_dtype=dtype,
                                         use_pallas_attention=use_pallas,
                                         quantize="int8"))
+        log("build: quantize pose vars (device)")
         q_vars = quantize_vitpose_params(pose_vars)
+        jax.block_until_ready(q_vars)
+        log("build: quantize done")
 
         pose_int8_ms = measure("pose_int8", make_pose_loop(q_model, True),
                                q_vars, frames, boxes) * 1000
@@ -281,6 +292,7 @@ def main():
     del pose_vars
 
     # -------------------------------------------------------------- id
+    log("build: id model/vars")
     id_model = ResNetClassifier(ResNetConfig(compute_dtype=dtype))
     id_vars = make_vars(id_model, jnp.zeros((1, 224, 224, 3)))
 

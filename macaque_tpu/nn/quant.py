@@ -49,10 +49,17 @@ class Int8Dense(nn.Module):
     Param subtree: {kernel_q int8 (in, out), wscale f32 (out,),
     bias f32 (out,)}. Fresh inits are zeros — real values come from
     :func:`quantize_dense` / :func:`quantize_vitpose_params`.
+
+    ``impl``: "xla" runs the quantize chain above as XLA ops; "pallas"
+    fuses it into the matmul kernel (nn/pallas_int8.py — one HBM read
+    of the activation, int8 MXU dot, dequant+bias epilogue; bitwise
+    the same quantization) on TPU backends, falling back to the XLA
+    chain elsewhere.
     """
 
     features: int
     use_bias: bool = True
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, x):
@@ -62,20 +69,36 @@ class Int8Dense(nn.Module):
             (x.shape[-1], self.features),
         )
         wscale = self.param("wscale", nn.initializers.ones, (self.features,))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        if self.impl == "pallas" and jax.default_backend() == "tpu":
+            from macaque_tpu.nn.pallas_int8 import quant_int8_matmul_split
+
+            # split scheme wins for K <= ~2048 (one-pass Pallas
+            # quantize + XLA int8 dot: 291/211/301 vs 266/182/284 TF on
+            # qkv/proj/fc1); at K = 5120 (fc2) the quantize pass is
+            # VPU-bound and the XLA chain stays ahead (tools/int8_probe
+            # round 5, v5e) — keep it there.
+            if x.shape[-1] <= 2048:
+                return quant_int8_matmul_split(x, kernel_q, wscale, bias)
         out = int8_matmul(x, kernel_q, wscale)
-        if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if bias is not None:
             out = out + bias.astype(out.dtype)
         return out
 
 
 def quantize_dense(params: dict) -> dict:
-    """{kernel, bias?} f32 Dense params -> Int8Dense params."""
-    kernel = np.asarray(params["kernel"], np.float32)
-    wscale = np.maximum(np.abs(kernel).max(axis=0), 1e-12) / 127.0
-    kernel_q = np.clip(np.round(kernel / wscale), -127, 127).astype(np.int8)
-    out = {"kernel_q": jnp.asarray(kernel_q),
-           "wscale": jnp.asarray(wscale.astype(np.float32))}
+    """{kernel, bias?} f32 Dense params -> Int8Dense params.
+
+    jnp ops throughout: device-resident kernels quantize on-device
+    (pulling a ViT-huge param tree to host through a remote-tunneled
+    device costs minutes; measured in bench.py round 5), host arrays
+    stay a cheap local computation with identical numerics."""
+    kernel = jnp.asarray(params["kernel"], jnp.float32)
+    wscale = jnp.maximum(jnp.max(jnp.abs(kernel), axis=0), 1e-12) / 127.0
+    kernel_q = jnp.clip(jnp.round(kernel / wscale), -127, 127
+                        ).astype(jnp.int8)
+    out = {"kernel_q": kernel_q, "wscale": wscale.astype(jnp.float32)}
     if "bias" in params:
         out["bias"] = params["bias"]
     return out

@@ -40,6 +40,14 @@ class VitPoseConfig:
     # "int8": weight + dynamic-activation int8 on the block Dense layers
     # (nn/quant.py; pair with quantize_vitpose_params). None: bf16/f32.
     quantize: Any = None
+    # int8 Dense implementation: "xla" (quantize chain as XLA ops) or
+    # "pallas" (nn/pallas_int8.py fused quantize kernels; bitwise the
+    # same quantization). "auto" = xla: the Pallas kernels win the
+    # isolated-matmul probe (291/211/301 vs 266/182/284 TF) but LOSE at
+    # model level (168 vs 149 ms/chunk) — the kernel boundary forfeits
+    # XLA's producer fusion of the quantize chain into LN/gelu
+    # (tools/int8_probe round 5; ARCHITECTURE.md §3b).
+    int8_impl: str = "auto"
     # tanh-approximated GELU: the erf<->tanh difference (~2e-4 relative)
     # is below bf16 rounding noise, but exact erf keeps XLA's
     # fc1+gelu+fc2 fusion on the VPU long enough to drop the block MLP
@@ -65,7 +73,8 @@ def _dense(cfg, features, name):
     if cfg.quantize == "int8":
         from macaque_tpu.nn.quant import Int8Dense
 
-        return Int8Dense(features, name=name)
+        impl = "xla" if cfg.int8_impl == "auto" else cfg.int8_impl
+        return Int8Dense(features, impl=impl, name=name)
     return nn.Dense(features, dtype=cfg.compute_dtype, name=name)
 
 

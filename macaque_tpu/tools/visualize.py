@@ -118,11 +118,16 @@ def render_overlay(
 
     cam_id = rig.camera_ids[i_cam]
     sub = rig.subset([i_cam]).omni()
-    p3_flat = jnp.asarray(np.nan_to_num(kp3d_n.reshape(-1, 3),
-                                        nan=1e8))
-    proj = np.array(omnidir_project(
-        jax.tree.map(lambda x: x[0], sub), p3_flat
-    )).reshape(A, T, J + 1, 2)
+    p3_flat = np.nan_to_num(kp3d_n.reshape(-1, 3), nan=1e8)
+    # pin the projection to the host CPU device: a few thousand points
+    # is not accelerator work, and on a remote-tunneled TPU the eager
+    # dispatch + fetch costs ~1-3 s per camera (profiled round 5; the
+    # whole CPU computation is <10 ms)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        proj = np.array(omnidir_project(
+            jax.tree.map(lambda x: np.asarray(x)[0], sub),
+            jnp.asarray(p3_flat),
+        )).reshape(A, T, J + 1, 2)
     proj[np.isnan(kp3d_n[..., 0])] = np.nan
 
     store = ImgStoreReader(
