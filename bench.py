@@ -54,7 +54,21 @@ def main():
     # starts executing immediately — /tmp never survives into one.
     from macaque_tpu.core.compile_cache import setup_compile_cache
 
-    cache_dir = setup_compile_cache(".jax_bench_cache")
+    # BENCH_CPU=1 forces the CPU backend (the axon TPU plugin ignores
+    # the JAX_PLATFORMS env var, so this must happen in-process);
+    # BENCH_TINY=1 shrinks every model so the full bench flow — stage
+    # order, tier gating, incremental emission — smoke-tests in minutes
+    # without a TPU (tests/test_bench_flow.py). Neither is ever set in
+    # a driver run; tiny output is labeled and never comparable.
+    cpu = os.environ.get("BENCH_CPU", "0") == "1"
+    if cpu:
+        jax.config.update("jax_platforms", "cpu")
+    tiny = os.environ.get("BENCH_TINY", "0") == "1"
+
+    # tiny/CPU smoke runs cache into the gitignored test cache so they
+    # never clutter the committed TPU-warmed bench cache
+    cache_dir = setup_compile_cache(
+        ".jax_test_cache" if (tiny or cpu) else ".jax_bench_cache")
     log(f"compile cache: {cache_dir or 'unavailable'}")
 
     import jax.numpy as jnp
@@ -80,7 +94,9 @@ def main():
     n_short = int(os.environ.get("BENCH_N_SHORT", 1))
     n_long = int(os.environ.get("BENCH_N_LONG", 9))
     B = n_cam * frames_per_cam
-    H, W = 800, 608
+    H, W = (256, 192) if tiny else (800, 608)
+    if tiny:
+        log("TINY smoke mode: shrunken models, output not comparable")
 
     log(f"devices: {jax.devices()}  B={B} dets/frame={n_det}")
     dtype = jnp.bfloat16
@@ -120,12 +136,23 @@ def main():
 
     # ------------------------------------------------------- detection
     swin_pallas = os.environ.get("BENCH_SWIN_PALLAS", "0") == "1"
+    tiny_swin = (dict(embed_dim=32, depths=(1, 1, 1, 1),
+                      num_heads=(1, 2, 4, 8)) if tiny else {})
+    tiny_pose = (dict(embed_dim=128, depth=2, num_heads=4)
+                 if tiny else {})
+    # tiny images hold fewer anchors than the production RPN/RoI
+    # budgets; shrink the fixed-capacity tables below the anchor count
+    tiny_det = (dict(rpn_nms_pre=128, rpn_max=128, rcnn_roi_topk=64,
+                     rcnn_roi_chunk=32) if tiny else {})
     log("build: det model/vars")
+    det_kw = dict(tiny_det)
+    if not tiny:
+        det_kw["rpn_nms_pre"] = int(os.environ.get("BENCH_NMS_PRE", 1000))
     det_model = SwinMaskRCNN(DetectorConfig(
         swin=SwinConfig(compute_dtype=dtype,
-                        use_pallas_attention=swin_pallas),
+                        use_pallas_attention=swin_pallas, **tiny_swin),
         compute_dtype=dtype,
-        rpn_nms_pre=int(os.environ.get("BENCH_NMS_PRE", 1000)),
+        **det_kw,
     ))
     det_vars = make_vars(det_model, jnp.zeros((1, H, W, 3)))
 
@@ -147,62 +174,22 @@ def main():
     results["det"] = measure("detect", make_det_loop(det_model),
                              det_vars, frames)
 
-    # serving preset: smaller RPN/RoI candidate budgets
-    # (DetectorConfig.serving: 512 proposals / 128 RoIs). The default
-    # config is exact-mmdet (nms_pre 1000, no RoI truncation);
-    # production scenes hold <= 4 animals, so the preset keeps the same
-    # detections at the 0.85 pipeline threshold while cutting the
-    # head's NMS + RoI work. Reported separately like pose_int8.
-    det_fast_ms = None
-    det_640_ms = None
-    if os.environ.get("BENCH_DET_FAST", "1") == "1":
-        # BENCH_DET_INT8=1 additionally serves the Swin trunk's block
-        # Dense layers in int8 (nn/quant.quantize_swin_params scheme)
-        det_int8 = os.environ.get("BENCH_DET_INT8", "0") == "1"
-        log("build: serving det model/vars")
-        fast_model = SwinMaskRCNN(DetectorConfig.serving(
-            swin=SwinConfig(compute_dtype=dtype,
-                            use_pallas_attention=swin_pallas,
-                            quantize="int8" if det_int8 else None),
-            compute_dtype=dtype,
-        ))
-
-        fast_vars = (make_vars(fast_model, jnp.zeros((1, H, W, 3)))
-                     if det_int8 else det_vars)
-        det_fast_ms = measure("detect_fast", make_det_loop(fast_model),
-                              fast_vars, frames) * 1000
-        del fast_vars
-
-    # fast tier: serving detector at 640x480 input (2048x1536 source
-    # keep-ratio-resized to target 640 instead of mmdet's 800). The
-    # trunk is layout-bound, so compute scales ~with pixel count
-    # (measured 88 vs 128 ms/chunk). Resolution is an accuracy
-    # trade-off the reference never makes — reported as its own tier,
-    # never folded into the parity or serving numbers.
-    if os.environ.get("BENCH_FAST", "1") == "1":
-        log("build: 640 det model/vars")
-        H6, W6 = 640, 480
-        frames640 = jnp.asarray(
-            npr.integers(0, 255, (B, H6, W6, 3), dtype=np.uint8))
-        fast_model = SwinMaskRCNN(DetectorConfig.serving(
-            swin=SwinConfig(compute_dtype=dtype,
-                            use_pallas_attention=swin_pallas),
-            compute_dtype=dtype,
-        ))
-        fast_vars = make_vars(fast_model, jnp.zeros((1, H6, W6, 3)))
-        det_640_ms = measure("detect_640", make_det_loop(fast_model),
-                             fast_vars, frames640) * 1000
-        del fast_vars, frames640
-    del det_vars
-
     # ------------------------------------------------------------ pose
+    # stage order is survivability-ordered (BENCH_r04 died to a driver
+    # timeout; committed warm caches can go stale when the tunnel
+    # backend changes keys): parity det -> parity pose -> PARTIAL emit
+    # -> id/tri -> parity-kernel emit -> serving tier -> emit -> fast
+    # tier -> emit -> pipeline -> final. A kill at any point leaves the
+    # most valuable artifact already printed.
     # packed-qkv pallas attention (consumes the qkv Dense output layout
     # directly, no HBM transposes): 128.3 vs 140.1 ms per 64-crop
     # ViT-huge apply vs XLA — default on
-    use_pallas = os.environ.get("BENCH_PALLAS_ATTN", "1") == "1"
+    use_pallas = (os.environ.get("BENCH_PALLAS_ATTN", "1") == "1"
+                  and jax.default_backend() == "tpu")
     log("build: pose model/vars")
     pose_model = ViTPose(VitPoseConfig(compute_dtype=dtype,
-                                       use_pallas_attention=use_pallas))
+                                       use_pallas_attention=use_pallas,
+                                       **tiny_pose))
     pose_vars = make_vars(pose_model, jnp.zeros((1, 256, 192, 3)))
     n_params = sum(x.size for x in jax.tree.leaves(pose_vars["params"]))
     log(f"vitpose params: {n_params/1e6:.0f}M; "
@@ -260,40 +247,10 @@ def main():
         },
     })
 
-    # int8 serving path (nn/quant.py): weight + dynamic-activation int8
-    # on the transformer Dense layers. Reported separately — the headline
-    # keeps the exact bf16 parity path; int8 is the production serving
-    # knob (quantization accuracy is bounded by tests/test_quant.py but
-    # unvalidated against real checkpoints in this environment).
-    pose_int8_ms = None
-    pose_noflip_ms = None
-    if os.environ.get("BENCH_POSE_INT8", "1") == "1":
-        from macaque_tpu.nn.quant import quantize_vitpose_params
-
-        q_model = ViTPose(VitPoseConfig(compute_dtype=dtype,
-                                        use_pallas_attention=use_pallas,
-                                        quantize="int8"))
-        log("build: quantize pose vars (device)")
-        q_vars = quantize_vitpose_params(pose_vars)
-        jax.block_until_ready(q_vars)
-        log("build: quantize done")
-
-        pose_int8_ms = measure("pose_int8", make_pose_loop(q_model, True),
-                               q_vars, frames, boxes) * 1000
-
-        # fast tier: single-pass int8 pose (flip-test averaging off —
-        # mmpose's own flip_test=False mode; exactly halves the pose
-        # FLOPs, which run at ~83% of the bf16 MXU roofline)
-        if os.environ.get("BENCH_FAST", "1") == "1":
-            pose_noflip_ms = measure("pose_noflip_int8",
-                                     make_pose_loop(q_model, False),
-                                     q_vars, frames, boxes) * 1000
-        del q_vars
-    del pose_vars
-
     # -------------------------------------------------------------- id
     log("build: id model/vars")
-    id_model = ResNetClassifier(ResNetConfig(compute_dtype=dtype))
+    id_model = ResNetClassifier(ResNetConfig(
+        depth=50 if tiny else 152, compute_dtype=dtype))
     id_vars = make_vars(id_model, jnp.zeros((1, 224, 224, 3)))
 
     def id_loop(n, id_vars, frames, boxes):
@@ -346,6 +303,122 @@ def main():
     log(f"kernel total {total*1000:.0f} ms per {B} camera-frames "
         f"({ {k: round(v*1000, 1) for k, v in results.items()} } ms) "
         f"-> {kernel_cf_s:.1f} cf/s")
+    detail = {"kernel_cf_s": round(kernel_cf_s, 2),
+              "kernel_ms_per_chunk": {k: round(v * 1000, 1)
+                                      for k, v in results.items()}}
+    # parity kernel suite complete — emit before the tier stages
+    emit({
+        "metric": "e2e_camera_frames_per_sec_per_chip",
+        "value": round(kernel_cf_s, 2),
+        "unit": "camera-frames/s",
+        "vs_baseline": round(kernel_cf_s / 6.4, 2),
+        "detail": dict(detail, tier_note="parity kernel-only "
+                       "(serving/fast tiers + pipeline still running)"),
+    })
+
+    # ----------------------------------------------------- serving tier
+    # serving preset: smaller RPN/RoI candidate budgets
+    # (DetectorConfig.serving: 512 proposals / 128 RoIs). The default
+    # config is exact-mmdet (nms_pre 1000, no RoI truncation);
+    # production scenes hold <= 4 animals, so the preset keeps the same
+    # detections at the 0.85 pipeline threshold while cutting the
+    # head's NMS + RoI work. Reported separately, never folded into the
+    # parity numbers.
+    det_fast_ms = None
+    det_640_ms = None
+    pose_int8_ms = None
+    pose_noflip_ms = None
+    q_vars = None
+    if os.environ.get("BENCH_DET_FAST", "1") == "1":
+        # BENCH_DET_INT8=1 additionally serves the Swin trunk's block
+        # Dense layers in int8 (nn/quant.quantize_swin_params scheme)
+        det_int8 = os.environ.get("BENCH_DET_INT8", "0") == "1"
+        log("build: serving det model/vars")
+        fast_model = SwinMaskRCNN(DetectorConfig.serving(
+            swin=SwinConfig(compute_dtype=dtype,
+                            use_pallas_attention=swin_pallas,
+                            quantize="int8" if det_int8 else None,
+                            **tiny_swin),
+            compute_dtype=dtype,
+            **tiny_det,
+        ))
+        fast_vars = (make_vars(fast_model, jnp.zeros((1, H, W, 3)))
+                     if det_int8 else det_vars)
+        det_fast_ms = measure("detect_fast", make_det_loop(fast_model),
+                              fast_vars, frames) * 1000
+        del fast_vars
+        detail["det_fast_ms"] = round(det_fast_ms, 1)
+    del det_vars
+
+    # int8 serving pose (nn/quant.py): weight + dynamic-activation int8
+    # on the transformer Dense layers. Reported separately — the
+    # headline keeps the exact bf16 parity path; int8 is the production
+    # serving knob (quantization accuracy is bounded by
+    # tests/test_quant.py but unvalidated against real checkpoints in
+    # this environment).
+    if os.environ.get("BENCH_POSE_INT8", "1") == "1":
+        from macaque_tpu.nn.quant import quantize_vitpose_params
+
+        q_model = ViTPose(VitPoseConfig(compute_dtype=dtype,
+                                        use_pallas_attention=use_pallas,
+                                        quantize="int8", **tiny_pose))
+        log("build: quantize pose vars (device)")
+        q_vars = quantize_vitpose_params(pose_vars)
+        jax.block_until_ready(q_vars)
+        log("build: quantize done")
+        pose_int8_ms = measure("pose_int8", make_pose_loop(q_model, True),
+                               q_vars, frames, boxes) * 1000
+        detail["pose_int8_ms"] = round(pose_int8_ms, 1)
+        total_q = total - results["pose"] + pose_int8_ms / 1000
+        detail["kernel_cf_s_int8"] = round(B / total_q, 2)
+    del pose_vars
+    if pose_int8_ms is not None and det_fast_ms is not None:
+        total_s = (total - results["pose"] - results["det"]
+                   + pose_int8_ms / 1000 + det_fast_ms / 1000)
+        detail["kernel_cf_s_serving"] = round(B / total_s, 2)
+        emit({
+            "metric": "e2e_camera_frames_per_sec_per_chip",
+            "value": round(kernel_cf_s, 2),
+            "unit": "camera-frames/s",
+            "vs_baseline": round(kernel_cf_s / 6.4, 2),
+            "detail": dict(detail, tier_note="parity kernel-only "
+                           "(fast tier + pipeline still running)"),
+        })
+
+    # -------------------------------------------------------- fast tier
+    # 640x480 serving detector (2048x1536 source keep-ratio-resized to
+    # target 640 instead of mmdet's 800; the trunk is layout-bound so
+    # compute scales ~with pixel count) + single-pass int8 pose
+    # (mmpose's own flip_test=False mode). Both are documented accuracy
+    # trade-offs the reference never makes — own tier, never folded
+    # into the parity or serving numbers (ARCHITECTURE.md "Roofline").
+    if os.environ.get("BENCH_FAST", "1") == "1":
+        log("build: 640 det model/vars")
+        H6, W6 = (224, 160) if tiny else (640, 480)
+        frames640 = jnp.asarray(
+            npr.integers(0, 255, (B, H6, W6, 3), dtype=np.uint8))
+        fast_model = SwinMaskRCNN(DetectorConfig.serving(
+            swin=SwinConfig(compute_dtype=dtype,
+                            use_pallas_attention=swin_pallas,
+                            **tiny_swin),
+            compute_dtype=dtype,
+            **tiny_det,
+        ))
+        fast_vars = make_vars(fast_model, jnp.zeros((1, H6, W6, 3)))
+        det_640_ms = measure("detect_640", make_det_loop(fast_model),
+                             fast_vars, frames640) * 1000
+        del fast_vars, frames640
+        detail["det_640_ms"] = round(det_640_ms, 1)
+        if q_vars is not None:
+            pose_noflip_ms = measure("pose_noflip_int8",
+                                     make_pose_loop(q_model, False),
+                                     q_vars, frames, boxes) * 1000
+            detail["pose_noflip_int8_ms"] = round(pose_noflip_ms, 1)
+    del q_vars
+    if det_640_ms is not None and pose_noflip_ms is not None:
+        total_f = (total - results["pose"] - results["det"]
+                   + pose_noflip_ms / 1000 + det_640_ms / 1000)
+        detail["kernel_cf_s_fast"] = round(B / total_f, 2)
 
     # ------------------------------------------- full-pipeline wall clock
     # The reference's ~30-min baseline covers steps 1-4 + render
@@ -353,34 +426,9 @@ def main():
     # the rest of the pipeline (host step1, cross-view, cross-frame,
     # 3D refinement, render) on the synthetic scene and fold it in:
     # e2e = n_cf / (n_cf * kernel_time_per_cf + rest_wall_clock).
-    detail = {"kernel_cf_s": round(kernel_cf_s, 2),
-              "kernel_ms_per_chunk": {k: round(v * 1000, 1)
-                                      for k, v in results.items()}}
-    if pose_int8_ms is not None:
-        detail["pose_int8_ms"] = round(pose_int8_ms, 1)
-        total_q = total - results["pose"] + pose_int8_ms / 1000
-        detail["kernel_cf_s_int8"] = round(B / total_q, 2)
-    if det_fast_ms is not None:
-        detail["det_fast_ms"] = round(det_fast_ms, 1)
-    if pose_int8_ms is not None and det_fast_ms is not None:
-        total_s = (total - results["pose"] - results["det"]
-                   + pose_int8_ms / 1000 + det_fast_ms / 1000)
-        detail["kernel_cf_s_serving"] = round(B / total_s, 2)
-    if det_640_ms is not None:
-        detail["det_640_ms"] = round(det_640_ms, 1)
-    if pose_noflip_ms is not None:
-        detail["pose_noflip_int8_ms"] = round(pose_noflip_ms, 1)
-    if det_640_ms is not None and pose_noflip_ms is not None:
-        # fast tier: 640x480 serving detector + single-pass int8 pose.
-        # Documented accuracy trade-offs (input resolution, no flip
-        # averaging) — see ARCHITECTURE.md "Roofline" for why the
-        # parity-semantics tiers cannot reach this on v5e.
-        total_f = (total - results["pose"] - results["det"]
-                   + pose_noflip_ms / 1000 + det_640_ms / 1000)
-        detail["kernel_cf_s_fast"] = round(B / total_f, 2)
     cf_per_s = kernel_cf_s
-    # incremental emission: the kernel tiers are fully measured — make
-    # them survivable before the (long) pipeline subprocess starts
+    # all kernel tiers measured — make them survivable before the
+    # (long) pipeline subprocess starts
     emit({
         "metric": "e2e_camera_frames_per_sec_per_chip",
         "value": round(kernel_cf_s, 2),
