@@ -230,23 +230,33 @@ def run_step4(
         if jl_all.ndim > 1:
             jl_all = jl_all[:n_a]
 
+    # ONE batched reprojection for all animals: through a
+    # remote-tunneled device every host fetch costs a full round trip
+    # (measured 0.29 s RTT inflating step4 to 1.9 s, round 5), so the
+    # per-animal reproject calls are folded into a single device
+    # program + fetch. Same math per point; golden-pinned by
+    # tests/test_golden_step4.py.
+    p3d_final = np.empty((n_animal, n_frame, n_kp, 3))
+    for a in range(n_animal):
+        p3d_final[a] = (p3d_ref_all[refine_pos[a]] if do_refine[a]
+                        else p3d_init_all[a])
+    p3d_in, n_fr = put_batch_sharded(p3d_final.reshape(-1, n_kp, 3), mesh)
+    proj_all = np.asarray(reproject_poses(cam, p3d_in))[:n_fr].reshape(
+        n_animal, n_frame, n_cam, n_kp, 2).transpose(0, 2, 1, 3, 4)
+
     for a in range(n_animal):
         points = points_all[a]
         scores = f_scs[a].copy()
-        p3d_init = p3d_init_all[a]
+        p3d = p3d_final[a]
         if do_refine[a]:
-            p3d = p3d_ref_all[refine_pos[a]]
             joint_len_out.append(
                 jl_all[refine_pos[a]] if jl_all.ndim > 1 else jl_all)
             min_cams = 1
         else:
-            p3d = p3d_init
             min_cams = 2
 
         # reprojection errors + scores (reference step4:276-319)
-        p3d_in, n_fr = put_batch_sharded(p3d.reshape(-1, n_kp, 3), mesh)
-        proj = np.asarray(reproject_poses(cam, p3d_in))[:n_fr].reshape(
-            n_frame, n_cam, n_kp, 2).transpose(1, 0, 2, 3)
+        proj = proj_all[a]
         err = np.linalg.norm(points - proj, axis=-1)  # (C, T, J)
         good = ~np.isnan(points[..., 0])
         denom = good.sum(axis=0).astype(float)
