@@ -108,3 +108,22 @@ def test_vitpose_int8_impl_flag_plumbs():
     for o in outs[1:]:
         np.testing.assert_array_equal(np.asarray(outs[0], np.float32),
                                       np.asarray(o, np.float32))
+
+
+def test_tiled_fallback_path_matches(monkeypatch):
+    """Weights too large for VMEM residency take the N-on-the-grid
+    tiled kernel; force it by shrinking the residency cap."""
+    import macaque_tpu.nn.pallas_int8 as pi
+
+    monkeypatch.setattr(pi, "_WRES_MAX_BYTES", 1024)
+    # unique shape + cache clear: the wres/tiled branch is decided at
+    # trace time, so a cached trace from an equal-shape earlier test
+    # would silently bypass the monkeypatched cap
+    jax.clear_caches()
+    rng = np.random.default_rng(5)
+    x, kq, ws = _mk(rng, 200, 1280, 896)
+    x = x.astype(jnp.bfloat16)
+    ref = int8_matmul(x, kq, ws)
+    out = pi.quant_int8_matmul(x, kq, ws, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref, np.float32),
+                                  np.asarray(out, np.float32))
